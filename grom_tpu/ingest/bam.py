@@ -1,0 +1,314 @@
+"""BAM container codec: header, record decode to struct-of-arrays, writer.
+
+Replaces the reference's vendored samtools/htslib usage (src/GROM.c:26-27,
+:214-261). Decoding is two-phase: a single cheap pass collects record
+boundaries, then all fixed-width fields are gathered **vectorized** with
+numpy — the per-read Python work is O(1) appends only. Sequences, quals and
+cigars are stored flat + offsets (ragged), ready to be padded into fixed-width
+device tensors by ingest/batches.py.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from grom_tpu.ingest import bgzf
+
+BAM_MAGIC = b"BAM\x01"
+
+# CIGAR op codes (SAM spec)
+CMATCH, CINS, CDEL, CREF_SKIP, CSOFT_CLIP, CHARD_CLIP, CPAD, CEQUAL, CDIFF = range(9)
+CIGAR_CHARS = "MIDNSHP=X"
+
+# 4-bit encoded bases → ASCII (SAM nt16 table)
+NT16 = np.frombuffer(b"=ACMGRSVTWYHKDBN", dtype=np.uint8)
+
+# flags
+FPAIRED = 0x1
+FPROPER_PAIR = 0x2
+FUNMAP = 0x4
+FMUNMAP = 0x8
+FREVERSE = 0x10
+FMREVERSE = 0x20
+FREAD1 = 0x40
+FREAD2 = 0x80
+FSECONDARY = 0x100
+FQCFAIL = 0x200
+FDUP = 0x400
+FSUPPLEMENTARY = 0x800
+
+
+@dataclass
+class BamHeader:
+    text: str
+    ref_names: List[str]
+    ref_lengths: List[int]
+
+    @property
+    def n_ref(self) -> int:
+        return len(self.ref_names)
+
+    def encode(self) -> bytes:
+        out = [BAM_MAGIC, struct.pack("<i", len(self.text)), self.text.encode()]
+        out.append(struct.pack("<i", self.n_ref))
+        for name, length in zip(self.ref_names, self.ref_lengths):
+            nb = name.encode() + b"\x00"
+            out.append(struct.pack("<i", len(nb)))
+            out.append(nb)
+            out.append(struct.pack("<i", length))
+        return b"".join(out)
+
+
+@dataclass
+class RawReads:
+    """Struct-of-arrays of decoded BAM records (one BAM fetch worth)."""
+
+    refid: np.ndarray       # int32 [R]
+    pos: np.ndarray         # int32 [R] 0-based leftmost
+    mapq: np.ndarray        # uint8 [R]
+    flag: np.ndarray        # uint16 [R]
+    mrefid: np.ndarray      # int32 [R]
+    mpos: np.ndarray        # int32 [R]
+    tlen: np.ndarray        # int32 [R]
+    lseq: np.ndarray        # int32 [R]
+    # ragged payloads
+    cigar: np.ndarray       # uint32 flat
+    cigar_off: np.ndarray   # int64 [R+1]
+    seq: np.ndarray         # uint8 flat, ASCII bases
+    qual: np.ndarray        # uint8 flat
+    seq_off: np.ndarray     # int64 [R+1]
+    names: List[bytes] = field(default_factory=list)
+    sa_tags: List[Optional[bytes]] = field(default_factory=list)  # SA:Z or XP:Z payloads
+
+    def __len__(self) -> int:
+        return len(self.pos)
+
+    def cigar_of(self, i: int) -> np.ndarray:
+        return self.cigar[self.cigar_off[i]:self.cigar_off[i + 1]]
+
+    def seq_of(self, i: int) -> bytes:
+        return self.seq[self.seq_off[i]:self.seq_off[i + 1]].tobytes()
+
+    def qual_of(self, i: int) -> np.ndarray:
+        return self.qual[self.seq_off[i]:self.seq_off[i + 1]]
+
+
+def _parse_aux_sa(aux: memoryview) -> Optional[bytes]:
+    """Extract the SA:Z (split alignment, BWA-mem) or XP:Z (older BWA) payload
+    from a record's aux block. The reference prefers XP and falls back to SA
+    (src/GROM.c:5757-5824); both carry (chr,pos,strand,CIGAR,mapq[,...])."""
+    i = 0
+    n = len(aux)
+    xp = sa = None
+    while i + 3 <= n:
+        tag = bytes(aux[i:i + 2])
+        typ = aux[i + 2]
+        i += 3
+        if typ in (ord("A"), ord("c"), ord("C")):
+            i += 1
+        elif typ in (ord("s"), ord("S")):
+            i += 2
+        elif typ in (ord("i"), ord("I"), ord("f")):
+            i += 4
+        elif typ in (ord("Z"), ord("H")):
+            j = i
+            while j < n and aux[j] != 0:
+                j += 1
+            if tag == b"SA":
+                sa = bytes(aux[i:j])
+            elif tag == b"XP":
+                xp = bytes(aux[i:j])
+            i = j + 1
+        elif typ == ord("B"):
+            sub = aux[i]
+            cnt = struct.unpack_from("<I", aux, i + 1)[0]
+            size = {ord("c"): 1, ord("C"): 1, ord("s"): 2, ord("S"): 2,
+                    ord("i"): 4, ord("I"): 4, ord("f"): 4}[sub]
+            i += 5 + cnt * size
+        else:
+            break
+    return xp if xp is not None else sa
+
+
+def decode_header(data: bytes) -> Tuple[BamHeader, int]:
+    if data[:4] != BAM_MAGIC:
+        raise ValueError("not a BAM file")
+    l_text = struct.unpack_from("<i", data, 4)[0]
+    text = data[8:8 + l_text].decode(errors="replace")
+    off = 8 + l_text
+    n_ref = struct.unpack_from("<i", data, off)[0]
+    off += 4
+    names: List[str] = []
+    lengths: List[int] = []
+    for _ in range(n_ref):
+        l_name = struct.unpack_from("<i", data, off)[0]
+        off += 4
+        names.append(data[off:off + l_name - 1].decode())
+        off += l_name
+        lengths.append(struct.unpack_from("<i", data, off)[0])
+        off += 4
+    return BamHeader(text, names, lengths), off
+
+
+def decode_records(data: bytes, start: int, end: Optional[int] = None,
+                   want_names: bool = True, want_sa: bool = True) -> RawReads:
+    """Decode records from flat decompressed BAM bytes in [start, end)."""
+    end = len(data) if end is None else end
+    mv = memoryview(data)
+    offsets: List[int] = []
+    off = start
+    while off + 4 <= end:
+        bs = int.from_bytes(mv[off:off + 4], "little")
+        offsets.append(off)
+        off += 4 + bs
+    offsets_np = np.array(offsets, dtype=np.int64)
+    R = len(offsets_np)
+    if R == 0:
+        e = np.empty
+        return RawReads(e(0, np.int32), e(0, np.int32), e(0, np.uint8), e(0, np.uint16),
+                        e(0, np.int32), e(0, np.int32), e(0, np.int32), e(0, np.int32),
+                        e(0, np.uint32), np.zeros(1, np.int64), e(0, np.uint8),
+                        e(0, np.uint8), np.zeros(1, np.int64), [], [])
+
+    buf = np.frombuffer(data, dtype=np.uint8)
+
+    def gather_i32(field_off: int) -> np.ndarray:
+        idx = offsets_np + field_off
+        b = (buf[idx].astype(np.uint32) | (buf[idx + 1].astype(np.uint32) << 8)
+             | (buf[idx + 2].astype(np.uint32) << 16) | (buf[idx + 3].astype(np.uint32) << 24))
+        return b.astype(np.int32)
+
+    refid = gather_i32(4)
+    pos = gather_i32(8)
+    l_read_name = buf[offsets_np + 12].astype(np.int32)
+    mapq = buf[offsets_np + 13]
+    n_cigar = (buf[offsets_np + 16].astype(np.uint16)
+               | (buf[offsets_np + 17].astype(np.uint16) << 8)).astype(np.int32)
+    flag = (buf[offsets_np + 18].astype(np.uint16)
+            | (buf[offsets_np + 19].astype(np.uint16) << 8))
+    lseq = gather_i32(20)
+    mrefid = gather_i32(24)
+    mpos = gather_i32(28)
+    tlen = gather_i32(32)
+
+    cigar_off = np.zeros(R + 1, dtype=np.int64)
+    np.cumsum(n_cigar, out=cigar_off[1:])
+    seq_off = np.zeros(R + 1, dtype=np.int64)
+    np.cumsum(lseq, out=seq_off[1:])
+
+    cigar = np.empty(int(cigar_off[-1]), dtype=np.uint32)
+    seq = np.empty(int(seq_off[-1]), dtype=np.uint8)
+    qual = np.empty(int(seq_off[-1]), dtype=np.uint8)
+    names: List[bytes] = []
+    sa_tags: List[Optional[bytes]] = []
+
+    for i in range(R):
+        o = int(offsets_np[i])
+        bs = int.from_bytes(mv[o:o + 4], "little")
+        lrn = int(l_read_name[i])
+        nc = int(n_cigar[i])
+        ls = int(lseq[i])
+        p = o + 36
+        if want_names:
+            names.append(bytes(mv[p:p + lrn - 1]))
+        p += lrn
+        if nc:
+            cigar[cigar_off[i]:cigar_off[i + 1]] = np.frombuffer(mv[p:p + 4 * nc], dtype=np.uint32)
+        p += 4 * nc
+        if ls:
+            packed = np.frombuffer(mv[p:p + (ls + 1) // 2], dtype=np.uint8)
+            hi = packed >> 4
+            lo = packed & 0xF
+            inter = np.empty(2 * len(packed), dtype=np.uint8)
+            inter[0::2] = hi
+            inter[1::2] = lo
+            seq[seq_off[i]:seq_off[i + 1]] = NT16[inter[:ls]]
+            p += (ls + 1) // 2
+            qual[seq_off[i]:seq_off[i + 1]] = np.frombuffer(mv[p:p + ls], dtype=np.uint8)
+            p += ls
+        if want_sa:
+            sa_tags.append(_parse_aux_sa(mv[p:o + 4 + bs]))
+        else:
+            sa_tags.append(None)
+
+    return RawReads(refid, pos, mapq, flag, mrefid, mpos, tlen, lseq,
+                    cigar, cigar_off, seq, qual, seq_off, names, sa_tags)
+
+
+def read_bam(path: str, want_names: bool = True) -> Tuple[BamHeader, RawReads]:
+    """Decode an entire BAM file (all references)."""
+    data, _ = bgzf.read_bgzf(path)
+    header, off = decode_header(data)
+    return header, decode_records(data, off, want_names=want_names)
+
+
+# ---------------------------------------------------------------------------
+# Writer (tests + synthetic-data tooling)
+# ---------------------------------------------------------------------------
+
+def encode_cigar(ops: List[Tuple[int, int]]) -> bytes:
+    return b"".join(struct.pack("<I", (length << 4) | op) for op, length in ops)
+
+
+_SEQ_CODE: Dict[int, int] = {ord(c): i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+
+
+def encode_record(name: bytes, flag: int, refid: int, pos: int, mapq: int,
+                  cigar_ops: List[Tuple[int, int]], mrefid: int, mpos: int,
+                  tlen: int, seq: bytes, qual: bytes,
+                  aux: bytes = b"") -> bytes:
+    n_cigar = len(cigar_ops)
+    lseq = len(seq)
+    # bin field: use reg2bin over the aligned span
+    from grom_tpu.ingest.bai import reg2bin
+    ref_span = sum(l for op, l in cigar_ops if op in (CMATCH, CDEL, CREF_SKIP, CEQUAL, CDIFF))
+    end = pos + max(ref_span, 1)
+    bin_ = reg2bin(pos, end) if refid >= 0 and pos >= 0 else 4680
+    packed = bytearray((lseq + 1) // 2)
+    for i, b in enumerate(seq):
+        code = _SEQ_CODE.get(b, 15)
+        if i % 2 == 0:
+            packed[i // 2] = code << 4
+        else:
+            packed[i // 2] |= code
+    body = (
+        struct.pack("<iiBBHHHiiii", refid, pos, len(name) + 1, mapq, bin_,
+                    n_cigar, flag, lseq, mrefid, mpos, tlen)
+        + name + b"\x00"
+        + encode_cigar(cigar_ops)
+        + bytes(packed)
+        + bytes(qual)
+        + aux
+    )
+    return struct.pack("<i", len(body)) + body
+
+
+class BamWriter:
+    """Write a coordinate-sorted BAM + BAI. Records must be appended in
+    coordinate order; ``close`` emits both files."""
+
+    def __init__(self, path: str, header: BamHeader):
+        self._path = path
+        self._header = header
+        self._f = open(path, "wb")
+        self._w = bgzf.BgzfWriter(self._f)
+        self._w.write(header.encode())
+        self._w.flush()  # header ends on block boundary → clean virtual offsets
+        from grom_tpu.ingest.bai import BaiBuilder
+        self._bai = BaiBuilder(header.n_ref)
+
+    def write_record(self, refid: int, pos: int, end: int, record: bytes) -> None:
+        vstart = self._w.virtual_offset
+        self._w.write(record)
+        vend = self._w.virtual_offset
+        if refid >= 0:
+            self._bai.add(refid, pos, end, vstart, vend)
+
+    def close(self) -> None:
+        self._w.close()
+        self._f.close()
+        self._bai.write(self._path + ".bai")

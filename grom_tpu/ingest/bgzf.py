@@ -1,0 +1,156 @@
+"""BGZF (blocked gzip) codec.
+
+The reference relies on vendored htslib for BGZF (src/GROM.c:26-27); we
+implement the container natively so the ingest layer has zero external
+dependencies. Reader returns (data, block_table) so callers can translate
+virtual file offsets (coffset<<16 | uoffset) — the coordinate system of BAI
+indexes — into flat offsets of the decompressed stream.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import BinaryIO, Iterator, List, Tuple
+
+import numpy as np
+
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+
+_HDR = struct.Struct("<4BI2B2H")  # magic(4) mtime xfl os xlen
+
+
+def _read_block(f: BinaryIO) -> Tuple[bytes, int] | None:
+    """Read one BGZF block at the current offset. Returns (payload, csize)."""
+    hdr = f.read(12)
+    if len(hdr) == 0:
+        return None
+    if len(hdr) < 12:
+        raise ValueError("truncated BGZF header")
+    if hdr[0] != 0x1F or hdr[1] != 0x8B:
+        raise ValueError("not a BGZF/gzip stream")
+    xlen = struct.unpack_from("<H", hdr, 10)[0]
+    extra = f.read(xlen)
+    bsize = None
+    off = 0
+    while off + 4 <= xlen:
+        si1, si2, slen = extra[off], extra[off + 1], struct.unpack_from("<H", extra, off + 2)[0]
+        if si1 == 66 and si2 == 67 and slen == 2:
+            bsize = struct.unpack_from("<H", extra, off + 4)[0] + 1
+            break
+        off += 4 + slen
+    if bsize is None:
+        raise ValueError("missing BGZF BC subfield")
+    cdata = f.read(bsize - 12 - xlen - 8)
+    crc, isize = struct.unpack("<II", f.read(8))
+    data = zlib.decompress(cdata, wbits=-15) if isize else b""
+    if len(data) != isize:
+        raise ValueError("BGZF ISIZE mismatch")
+    return data, bsize
+
+
+def read_bgzf(path: str) -> Tuple[bytes, np.ndarray]:
+    """Decompress a whole BGZF file.
+
+    Returns (data, blocks) where ``blocks`` is an int64 array of shape [B, 2]:
+    (compressed_offset, uncompressed_offset) per block, plus a final sentinel
+    row (file_size, len(data)). Virtual offset (co, uo) maps to flat offset
+    uncompressed_offset[block_at(co)] + uo.
+    """
+    chunks: List[bytes] = []
+    coffs: List[int] = []
+    uoffs: List[int] = []
+    with open(path, "rb") as f:
+        coff = 0
+        uoff = 0
+        while True:
+            rec = _read_block(f)
+            if rec is None:
+                break
+            data, csize = rec
+            coffs.append(coff)
+            uoffs.append(uoff)
+            chunks.append(data)
+            coff += csize
+            uoff += len(data)
+        coffs.append(coff)
+        uoffs.append(uoff)
+    blocks = np.stack([np.array(coffs, dtype=np.int64), np.array(uoffs, dtype=np.int64)], axis=1)
+    return b"".join(chunks), blocks
+
+
+def iter_bgzf_blocks(path: str) -> Iterator[Tuple[int, int, bytes]]:
+    """Stream (compressed_offset, uncompressed_offset, payload) per block."""
+    with open(path, "rb") as f:
+        coff = 0
+        uoff = 0
+        while True:
+            rec = _read_block(f)
+            if rec is None:
+                return
+            data, csize = rec
+            yield coff, uoff, data
+            coff += csize
+            uoff += len(data)
+
+
+def virtual_to_flat(blocks: np.ndarray, voffset: int) -> int:
+    """Translate a BGZF virtual offset into a flat decompressed offset."""
+    coff = voffset >> 16
+    uoff = voffset & 0xFFFF
+    idx = int(np.searchsorted(blocks[:, 0], coff, side="right")) - 1
+    if idx < 0 or blocks[idx, 0] != coff:
+        # coffset must start a block; fall back to nearest preceding block
+        idx = max(idx, 0)
+    return int(blocks[idx, 1]) + uoff
+
+
+class BgzfWriter:
+    """Minimal BGZF writer used by the BAM writer and tests.
+
+    Tracks virtual offsets so a BAI index can be built while writing.
+    """
+
+    def __init__(self, f: BinaryIO, level: int = 6, block_size: int = 60000):
+        self._f = f
+        self._level = level
+        self._buf = bytearray()
+        self._block_size = block_size
+        self._coff = 0
+
+    @property
+    def virtual_offset(self) -> int:
+        return (self._coff << 16) | len(self._buf)
+
+    def write(self, data: bytes) -> None:
+        self._buf += data
+        while len(self._buf) >= self._block_size:
+            self._flush_block(self._buf[: self._block_size])
+            del self._buf[: self._block_size]
+
+    def _flush_block(self, payload: bytes) -> None:
+        comp = zlib.compressobj(self._level, zlib.DEFLATED, -15)
+        cdata = comp.compress(bytes(payload)) + comp.flush()
+        bsize = len(cdata) + 26
+        if bsize > 0x10000:
+            raise ValueError("BGZF block too large; lower block_size")
+        out = (
+            b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+            + struct.pack("<H", 6)
+            + b"BC" + struct.pack("<H", 2) + struct.pack("<H", bsize - 1)
+            + cdata
+            + struct.pack("<II", zlib.crc32(bytes(payload)) & 0xFFFFFFFF, len(payload))
+        )
+        self._f.write(out)
+        self._coff += len(out)
+
+    def flush(self) -> None:
+        if self._buf:
+            self._flush_block(bytes(self._buf))
+            self._buf.clear()
+
+    def close(self) -> None:
+        self.flush()
+        self._f.write(BGZF_EOF)
