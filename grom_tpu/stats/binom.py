@@ -40,25 +40,36 @@ from grom_tpu.stats.normal import erf_as_np
 _SQRT2 = math.sqrt(2.0)
 
 
-def _poisson_cdf_matrix(n_vals: np.ndarray, p: float, max_k: int) -> np.ndarray:
+def _poisson_cdf_matrix(n_vals: np.ndarray, p: float, max_k: int,
+                        rows_needed: np.ndarray) -> np.ndarray:
     """cdf[n_idx, s] = sum_{k=0}^{s-1} lam^k e^-lam / wrapped_factorial(k),
-    replicating C ``long`` overflow in the factorial (src/GROM.c:21237-21249)."""
+    replicating C ``long`` overflow in the factorial (src/GROM.c:21237-21249).
+
+    pow/exp go through libm (math.pow/math.exp) rather than numpy's SIMD
+    kernels: the deep upper tails are computed as 1-cdf with catastrophic
+    cancellation, so a 1-ulp difference in a term is visible in the cached
+    table text. Only ``rows_needed`` rows are evaluated.
+    """
     lam = n_vals.astype(np.float64) * p  # [N]
-    ks = np.arange(max_k, dtype=np.float64)  # term index k = 0..max_k-1
     # wrapped factorial: kf[0]=1, kf[1]=1, kf[k]=kf[k-1]*k for k>=2 (int64 wrap)
     kf = np.ones(max_k, dtype=np.int64)
     with np.errstate(over="ignore"):
         for k in range(2, max_k):
             kf[k] = kf[k - 1] * np.int64(k)
     kf_d = kf.astype(np.float64)
-    with np.errstate(over="ignore", divide="ignore", invalid="ignore"):
-        # pow(lam, k) can hit inf; division by wrapped factorial can produce
-        # inf/-inf/nan — exactly as in the reference.
-        pow_terms = np.power(lam[:, None], ks[None, :])  # [N, K]
-        terms = pow_terms * np.exp(-lam)[:, None] / kf_d[None, :]
-        cdf = np.concatenate(
-            [np.zeros((len(lam), 1)), np.cumsum(terms, axis=1)], axis=1
-        )  # cdf[:, s] = sum of first s terms
+    cdf = np.zeros((len(lam), max_k + 1), dtype=np.float64)
+    mpow, mexp = math.pow, math.exp
+    for i in np.flatnonzero(rows_needed):
+        la = float(lam[i])
+        e = mexp(-la)
+        run = 0.0
+        row = cdf[i]
+        for k in range(max_k):
+            try:
+                run += mpow(la, k) * e / kf_d[k]
+            except (OverflowError, ZeroDivisionError):
+                run = math.inf if run > 0 else math.nan
+            row[k + 1] = run
     return cdf
 
 
@@ -75,24 +86,62 @@ def _normal_cdf_matrix(n_vals: np.ndarray, p: float, max_k: int) -> np.ndarray:
     return (1.0 - erf) / 2.0
 
 
-def _exact_cdf_matrix(n_vals: np.ndarray, p: float, max_k: int) -> np.ndarray:
+_INT64_MIN = np.int64(-9223372036854775808)
+
+
+def _trunc_to_long(x: np.ndarray) -> np.ndarray:
+    """C double→long conversion with x86-64 semantics: truncate toward zero;
+    NaN/±inf/out-of-range all become INT64_MIN (cvttsd2si behavior). The
+    reference declares its combinations accumulator as ``long``
+    (src/GROM.c:21154), so every recurrence step truncates — and overflows
+    park the accumulator at INT64_MIN. Table parity depends on this."""
+    t = np.trunc(x)
+    in_range = np.isfinite(t) & (t >= -9.223372036854776e18) & (t < 9.223372036854776e18)
+    out = np.full(x.shape, _INT64_MIN, dtype=np.int64)
+    safe = np.where(in_range, t, 0.0)
+    out[in_range] = safe[in_range].astype(np.int64)
+    return out
+
+
+def _exact_cdf_matrix(n_vals: np.ndarray, p: float, max_k: int,
+                      rows_needed: np.ndarray | None = None) -> np.ndarray:
     """cdf[n_idx, s] by the reference's incremental exact sum
-    (src/GROM.c:21277-21296), identical floating-point op order."""
-    n = n_vals.astype(np.float64)
+    (src/GROM.c:21277-21296), identical floating-point op order — including
+    the integer truncation of the ``long`` combinations accumulator.
+
+    For p != 0.5 the (1-p)^(n-k) factor goes through libm (math.pow) on the
+    needed rows, since numpy's SIMD pow can differ by 1 ulp (visible through
+    the 1-cdf cancellation in the cached table text). For p = 0.5 all powers
+    of two are exact and the vectorized path is bit-identical.
+    """
+    n = n_vals.astype(np.int64)
     N = len(n)
     cdf = np.zeros((N, max_k + 1), dtype=np.float64)
-    comb = np.ones(N, dtype=np.float64)
-    n_minus_k = n.copy()
+    comb = np.ones(N, dtype=np.int64)
+    n_minus_k = n.copy()  # C long
     run = np.zeros(N, dtype=np.float64)
+    use_libm = p != 0.5
+    if rows_needed is None:
+        rows_needed = np.ones(N, dtype=bool)
+    need_idx = np.flatnonzero(rows_needed)
     with np.errstate(over="ignore", invalid="ignore"):
         for k in range(max_k):
-            run = run + comb * (p ** k) * np.power(1.0 - p, n_minus_k)
+            nmk_f = n_minus_k.astype(np.float64)
+            if use_libm:
+                q_pow = np.zeros(N, dtype=np.float64)
+                mpow = math.pow
+                q = 1.0 - p
+                for i in need_idx:
+                    q_pow[i] = mpow(q, nmk_f[i])
+            else:
+                q_pow = np.power(1.0 - p, nmk_f)
+            run = run + comb.astype(np.float64) * (p ** k) * q_pow
             cdf[:, k + 1] = run
             if k > 0:
-                comb = (comb / (k + 1.0)) * n_minus_k
+                comb = _trunc_to_long((comb.astype(np.float64) / (k + 1.0)) * nmk_f)
             else:
-                comb = comb * n_minus_k
-            n_minus_k = n_minus_k - 1.0
+                comb = comb * n_minus_k  # long * long, no truncation round-trip
+            n_minus_k = n_minus_k - 1
     return cdf
 
 
@@ -107,9 +156,9 @@ def _upper_tail_table(p: float, max_trials: int, normal_min_successes: int,
     poisson_rows = ((n_vals >= 20) & (p <= 0.05)) | ((n_vals >= 100) & (n_vals * p <= 10))
     npq = n_vals * p * (1.0 - p)
 
-    cdf_p = _poisson_cdf_matrix(n_vals, p, size)
+    cdf_p = _poisson_cdf_matrix(n_vals, p, size, poisson_rows)
     cdf_n = _normal_cdf_matrix(n_vals, p, max_trials)
-    cdf_e = _exact_cdf_matrix(n_vals, p, max_trials)
+    cdf_e = _exact_cdf_matrix(n_vals, p, max_trials, rows_needed=~poisson_rows)
 
     s = np.arange(size)[None, :]
     use_poisson = poisson_rows[:, None] & np.ones_like(s, dtype=bool)
@@ -145,14 +194,15 @@ def build_hez_table(max_trials: int = 1000) -> np.ndarray:
     t = _upper_tail_table(0.5, max_trials, normal_min_successes=17,
                           mq_row_shortcut=False)
     size = max_trials + 1
-    out = np.empty_like(t)
-    # out[r][c] = clamp0(1 - t[r][c+1]) for c<max_trials; out[r][max] = 1
-    out[:, :-1] = 1.0 - t[:, 1:]
-    out[:, :-1] = np.where(out[:, :-1] < 0, 0.0, out[:, :-1])
-    out[:, -1] = 1.0
+    out = t.copy()
+    # The post-pass loop covers rows 0..max_trials-1 ONLY (src/GROM.c:21310);
+    # row max_trials keeps its first-pass upper-tail values.
+    out[:-1, :-1] = 1.0 - t[:-1, 1:]
+    out[:-1, :-1] = np.where(out[:-1, :-1] < 0, 0.0, out[:-1, :-1])
+    out[:-1, -1] = 1.0
     # sticky-1 forward fix: once a stored value equals exactly 1, the rest of
     # the row (through column max_trials-1) is 1
-    for r in range(size):
+    for r in range(size - 1):
         ones = np.flatnonzero(out[r, :-1] == 1.0)
         if len(ones):
             out[r, ones[0]:] = 1.0
