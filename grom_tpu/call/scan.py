@@ -1,0 +1,315 @@
+"""Whole-chromosome evidence accumulation (the dense half of the reference's
+streaming scan engine, src/GROM.c:5740-11085, re-expressed as vectorized
+array ops over the full chromosome).
+
+The reference slides a ~70-array window one base at a time; because every
+deposit/detection is relative to absolute genome coordinates, accumulating
+into whole-chromosome arrays is semantically identical (SURVEY §2.7-l2), with
+two boundary rules reproduced exactly:
+
+  * scan positions run from ``scan_start = L0/2 + 1`` (the window-index start,
+    src/GROM.c:2918) to ``scan_end = max(scan_start, last_record_pos - IM)``
+    inclusive (EOF drain, src/GROM.c:6411,14857);
+  * reads with pos < scan_start are skipped entirely, but each skipped record
+    still advances the window index (src/GROM.c:6406/14859-14861), which
+    offsets the depth-filter boundary (see ``window_base_final``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from grom_tpu.config import DerivedConfig, GromConfig
+from grom_tpu.ingest.batches import ReadBatch, build_batch, expand_spans
+from grom_tpu.ingest.bam import FREVERSE, RawReads
+
+NT = 4
+_CODE = np.full(256, -1, dtype=np.int8)
+for i, ch in enumerate(b"ACGT"):
+    _CODE[ch] = i
+    _CODE[ch | 0x20] = i
+
+
+def window_len_l0(cfg: GromConfig, drv: DerivedConfig) -> int:
+    """L0 = overlap_mult*8*max(2*insert_mean-1, insert_max+1)
+    (src/GROM.c:22282-22286). The allocated window is 2*L0; shift blocks are
+    L0; the index starts at L0/2+1."""
+    l0 = cfg.overlap_mult * 8 * (2 * drv.insert_mean - 1)
+    alt = cfg.overlap_mult * 8 * (drv.insert_max + 1)
+    return max(l0, alt)
+
+
+def scan_bounds(cfg: GromConfig, drv: DerivedConfig, record_pos: np.ndarray):
+    """(scan_start, scan_end, n_skipped_records) for a whole-chromosome run."""
+    l0 = window_len_l0(cfg, drv)
+    scan_start = (2 * l0) // 4 + 1
+    im = cfg.overlap_mult * drv.insert_max
+    if len(record_pos):
+        scan_end = max(scan_start, int(record_pos[-1]) - im)
+        skipped = int(np.searchsorted(record_pos, scan_start, side="left"))
+    else:
+        scan_end = scan_start - 1  # nothing scanned
+        skipped = 0
+    return scan_start, scan_end, skipped
+
+
+def window_base_final(scan_end: int, scan_start: int, l0: int, skipped: int) -> int:
+    """The reference's final-flush depth boundary: the value of
+    ``scan - one_base_index`` after the loop exits (src/GROM.c:15025).
+
+    index(top of iteration t) = scan_start + t + 1 - shifts*L0, with a shift
+    (index -= L0) whenever it reaches 1.5*L0; scan advances only on
+    non-skipped iterations, so t = (scan - scan_start) + skipped. After the
+    final detection the scan has been incremented once more, giving
+    shifts*L0 - skipped.
+    """
+    t_f = (scan_end - scan_start) + skipped
+    raw = scan_start + t_f + 1
+    shifts = max(0, (raw - (3 * l0) // 2) // l0 + 1)
+    return shifts * l0 - skipped
+
+
+def window_base_at(scan: int, scan_start: int, l0: int, skipped: int) -> int:
+    """Mid-scan depth boundary (value of scan - index during detection at
+    ``scan``), used when the SNV candidate list flushes mid-run
+    (src/GROM.c:11203)."""
+    t = (scan - scan_start) + skipped
+    raw = scan_start + t + 1
+    shifts = max(0, (raw - (3 * l0) // 2) // l0 + 1)
+    return shifts * l0 - skipped - 1
+
+
+@dataclass
+class ChromArrays:
+    """Dense whole-chromosome accumulators (the reference's caf_* and the
+    SNV-relevant cdp_one_base_* arrays)."""
+
+    chr_len: int
+    rd_mq: np.ndarray           # caf_rd_mq_list: Σ mapq per base
+    rd_hi: np.ndarray           # caf_rd_rd_list: depth of mq>=min reads
+    rd_lo: np.ndarray           # caf_rd_low_mq_rd_list
+    one_base_rd: np.ndarray     # physical rd over clipped aligned span
+    indel_sc_rd: np.ndarray     # indel_sc_left_rd + indel_sc_right_rd
+    sc_rd: np.ndarray           # sc_left_rd + sc_right_rd (one_base_sc_rd)
+    snv: np.ndarray             # [4, L] high-quality per-nt counts
+    snv_lowmq: np.ndarray       # [4, L]
+    bq: np.ndarray              # Σ bq (high-quality bases)
+    bq_all: np.ndarray
+    mq: np.ndarray
+    mq_all: np.ndarray
+    bq_read_count: np.ndarray
+    mq_read_count: np.ndarray
+    read_count_all: np.ndarray
+    pos_in_read: np.ndarray     # [4, L]
+    fstrand: np.ndarray         # [4, L]
+
+
+def accumulate_chromosome(chrom: np.ndarray, batch: ReadBatch,
+                          cfg: GromConfig, drv: DerivedConfig,
+                          scan_start: int) -> ChromArrays:
+    L = len(chrom)
+    arr = ChromArrays(
+        chr_len=L,
+        rd_mq=np.zeros(L, np.int64), rd_hi=np.zeros(L, np.int32),
+        rd_lo=np.zeros(L, np.int32), one_base_rd=np.zeros(L, np.int32),
+        indel_sc_rd=np.zeros(L, np.int32), sc_rd=np.zeros(L, np.int32),
+        snv=np.zeros((NT, L), np.int32), snv_lowmq=np.zeros((NT, L), np.int32),
+        bq=np.zeros(L, np.int64), bq_all=np.zeros(L, np.int64),
+        mq=np.zeros(L, np.int64), mq_all=np.zeros(L, np.int64),
+        bq_read_count=np.zeros(L, np.int32), mq_read_count=np.zeros(L, np.int32),
+        read_count_all=np.zeros(L, np.int32),
+        pos_in_read=np.zeros((NT, L), np.int64), fstrand=np.zeros((NT, L), np.int64),
+    )
+    # eligible reads: kept AND pos >= scan_start (reads before the window
+    # start are consumed without deposits, src/GROM.c:6406)
+    eligible = batch.keep & (batch.pos >= scan_start)
+
+    _accumulate_rd_lists(arr, batch, eligible, cfg)
+    _accumulate_one_base_rd(arr, batch, eligible, drv)
+    _accumulate_snv(arr, chrom, batch, eligible, cfg)
+    return arr
+
+
+def _accumulate_rd_lists(arr, batch, eligible, cfg):
+    """caf_rd_* per-base lists from M spans (src/GROM.c:6605-6664). A span is
+    deposited only when pos>=0 and pos+len < chr_len (strict)."""
+    sel = eligible[batch.span_read]
+    ref = batch.span_ref[sel]
+    ln = batch.span_len[sel]
+    rid = batch.span_read[sel]
+    ok = (ref >= 0) & (ref + ln < arr.chr_len)
+    ref, ln, rid = ref[ok], ln[ok], rid[ok]
+    mapq = batch.mapq[rid]
+    hi = mapq >= cfg.min_mapq
+
+    def span_add(dst, starts, lens, weights=None):
+        d = np.zeros(arr.chr_len + 1, dtype=np.int64)
+        if weights is None:
+            np.add.at(d, starts, 1)
+            np.subtract.at(d, starts + lens, 1)
+        else:
+            np.add.at(d, starts, weights)
+            np.subtract.at(d, starts + lens, weights)
+        dst += np.cumsum(d[:-1])
+
+    mq_acc = np.zeros(arr.chr_len, np.int64)
+    span_add(mq_acc, ref, ln, mapq.astype(np.int64))
+    arr.rd_mq += mq_acc
+    hi_acc = np.zeros(arr.chr_len, np.int64)
+    span_add(hi_acc, ref[hi], ln[hi])
+    arr.rd_hi += hi_acc.astype(np.int32)
+    lo_acc = np.zeros(arr.chr_len, np.int64)
+    span_add(lo_acc, ref[~hi], ln[~hi])
+    arr.rd_lo += lo_acc.astype(np.int32)
+
+
+def _accumulate_one_base_rd(arr, batch, eligible, drv):
+    """Physical rd over [pos, pos+lseq-start_adj-end_adj-end_adj_indel)
+    (src/GROM.c:7172-7181) and the indel_sc / sc single-position rd deposits
+    (src/GROM.c:7105-7170)."""
+    e = np.flatnonzero(eligible)
+    pos = batch.pos[e]
+    span = batch.lseq[e] - batch.start_adj[e] - batch.end_adj[e] - batch.end_adj_indel[e]
+    ok = span > 0
+    d = np.zeros(arr.chr_len + 1, np.int64)
+    s = np.clip(pos[ok], 0, arr.chr_len)
+    t = np.clip(pos[ok] + span[ok], 0, arr.chr_len)
+    np.add.at(d, s, 1)
+    np.subtract.at(d, t, 1)
+    arr.one_base_rd += np.cumsum(d[:-1]).astype(np.int32)
+
+    flag = batch.flag[e]
+    paired = (flag & 0x1) != 0
+    munmap = (flag & 0x8) != 0
+    rev = (flag & 0x10) != 0
+    same_chr = batch.mchr[e] == _refid_of(batch)
+    mpos = batch.mpos[e]
+    tlen = batch.tlen[e]
+
+    left_clip = batch.start_adj[e] >= 1
+    right_clip = batch.end_adj[e] >= 1
+    lpos = pos - 1
+    rpos = pos - batch.start_adj[e] + batch.lseq[e] - batch.end_adj[e] - batch.end_adj_indel[e]
+
+    # sc_left: unpaired OR (fwd && (mate unmapped || same chr mpos>pos))
+    sc_l = left_clip & (~paired | (~rev & (munmap | (~munmap & same_chr & (mpos > pos)))))
+    # sc_right: unpaired OR (rev && (mate unmapped || same chr mpos<pos))
+    sc_r = right_clip & (~paired | (rev & (munmap | (~munmap & same_chr & (mpos < pos)))))
+    _point_add(arr.sc_rd, lpos[sc_l], arr.chr_len)
+    _point_add(arr.sc_rd, rpos[sc_r], arr.chr_len)
+
+    # indel_sc_left: paired, mate mapped same chr, rev, |tlen|<=insert_max, mpos<pos
+    isc_l = left_clip & paired & ~munmap & same_chr & rev & \
+        (np.abs(tlen) <= drv.insert_max) & (mpos < pos)
+    isc_r = right_clip & paired & ~munmap & same_chr & ~rev & \
+        (np.abs(tlen) <= drv.insert_max) & (mpos > pos)
+    _point_add(arr.indel_sc_rd, lpos[isc_l], arr.chr_len)
+    _point_add(arr.indel_sc_rd, rpos[isc_r], arr.chr_len)
+
+
+def _refid_of(batch) -> int:
+    # all reads in a batch share the chromosome being scanned; svtype
+    # classification already compared mrefid to it. Recover it from any read.
+    return int(batch.reads.refid[0]) if len(batch.reads.refid) else 0
+
+
+def _point_add(dst, idx, L):
+    ok = (idx >= 0) & (idx < L)
+    np.add.at(dst, idx[ok], 1)
+
+
+def _accumulate_snv(arr, chrom, batch, eligible, cfg):
+    """Per-base SNV tally (src/GROM.c:6757-6984): quality-split counts with
+    read-name dedup on high-quality mismatch bases."""
+    rid, refpos, readidx = expand_spans(batch)
+    elig = eligible[rid]
+    rid, refpos, readidx = rid[elig], refpos[elig], readidx[elig]
+    inb = (refpos >= 0) & (refpos < arr.chr_len)
+    rid, refpos, readidx = rid[inb], refpos[inb], readidx[inb]
+
+    reads = batch.reads
+    flat = reads.seq_off[rid] + readidx
+    base = reads.seq[flat]
+    qual = reads.qual[flat].astype(np.int32)
+    code = _CODE[base]
+    refcode = _CODE[chrom[refpos]]
+    mapq = batch.mapq[rid]
+    hi = (mapq >= cfg.min_mapq) & (qual >= cfg.min_base_qual)
+    # mismatch per the reference: toupper(ref) != seq-byte (seq is upper ACGTN)
+    ref_upper = np.where((chrom[refpos] >= 97), chrom[refpos] - 32, chrom[refpos])
+    mismatch = ref_upper != base
+
+    # --- read-name dedup on high-quality mismatch events (record order) ---
+    skip = np.zeros(len(rid), dtype=bool)
+    mm_idx = np.flatnonzero(hi & mismatch)
+    if len(mm_idx):
+        names = reads.names
+        slots: Dict[int, List[bytes]] = {}
+        name_cache: Dict[int, bytes] = {}
+        max_slots = cfg.min_snv
+        name_len_cap = 50  # g_read_name_len
+        for i in mm_idx:
+            p = int(refpos[i])
+            r = int(rid[i])
+            nm = name_cache.get(r)
+            if nm is None:
+                nm = names[r]
+                name_cache[r] = nm
+            sl = slots.get(p)
+            if sl is None:
+                sl = []
+                slots[p] = sl
+            found = False
+            for s in sl:
+                if s == nm:
+                    found = True
+                    break
+            if found:
+                skip[i] = True
+            elif len(sl) < max_slots:
+                if len(nm) < name_len_cap:
+                    sl.append(nm)
+    counted_hi = hi & ~skip & (code >= 0)
+    lo = ~hi & (code >= 0)
+
+    L = arr.chr_len
+    fwd = (batch.flag[rid] & FREVERSE) == 0
+    lseq = batch.lseq[rid]
+
+    def bincount_add(dst, idx, weights=None):
+        if weights is None:
+            dst += np.bincount(idx, minlength=L).astype(dst.dtype)[:L]
+        else:
+            dst += np.bincount(idx, weights=weights, minlength=L).astype(dst.dtype)[:L]
+
+    hi_i = np.flatnonzero(counted_hi)
+    for nt in range(NT):
+        sel = hi_i[code[hi_i] == nt]
+        bincount_add(arr.snv[nt], refpos[sel])
+        # pos-in-read: match bases use strand-dependent index, mismatch bases
+        # use the raw read index for both strands (src/GROM.c:6846-6870 vs 6900)
+        m_sel = sel[~mismatch[sel]]
+        x_sel = sel[mismatch[sel]]
+        pir_m = np.where(fwd[m_sel], readidx[m_sel], lseq[m_sel] - readidx[m_sel])
+        bincount_add(arr.pos_in_read[nt], refpos[m_sel], pir_m)
+        bincount_add(arr.pos_in_read[nt], refpos[x_sel], readidx[x_sel])
+        f_sel = sel[fwd[sel]]
+        bincount_add(arr.fstrand[nt], refpos[f_sel])
+    bincount_add(arr.bq, refpos[hi_i], qual[hi_i])
+    bincount_add(arr.bq_all, refpos[hi_i], qual[hi_i])
+    bincount_add(arr.mq, refpos[hi_i], mapq[hi_i])
+    bincount_add(arr.mq_all, refpos[hi_i], mapq[hi_i])
+    bincount_add(arr.bq_read_count, refpos[hi_i])
+    bincount_add(arr.mq_read_count, refpos[hi_i])
+    bincount_add(arr.read_count_all, refpos[hi_i])
+
+    lo_i = np.flatnonzero(lo)
+    for nt in range(NT):
+        sel = lo_i[code[lo_i] == nt]
+        bincount_add(arr.snv_lowmq[nt], refpos[sel])
+    bincount_add(arr.bq_all, refpos[lo_i], qual[lo_i])
+    bincount_add(arr.mq_all, refpos[lo_i], mapq[lo_i])
+    bincount_add(arr.read_count_all, refpos[lo_i])

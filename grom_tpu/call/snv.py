@@ -1,0 +1,212 @@
+"""SNV detection, batched depth filtering, genotyping and row formatting.
+
+Vectorized re-expression of the reference's per-position SNV caller
+(src/GROM.c:11126-11326 and the final flush :15025-15330): at every scanned
+position, per-alt thresholds + binomial table lookups produce candidates; the
+candidate list is flushed in batches of ``sv_list_len - 10`` with a running
+cumulative mean read depth gating high-coverage sites.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+from grom_tpu.call.scan import (ChromArrays, window_base_at, window_base_final,
+                                window_len_l0)
+from grom_tpu.config import DerivedConfig, GromConfig
+
+_DNA = "ACGT"
+
+
+def c_round(x: float) -> float:
+    """C round(): half away from zero (Python's round is banker's)."""
+    if math.isnan(x):
+        return x
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+@dataclass
+class SnvCandidates:
+    pos: np.ndarray           # 0-based
+    alt: np.ndarray           # nt code 0..3
+    ratio: np.ndarray         # float (computed in float32 like the reference)
+    binom_cdf: np.ndarray     # mq-table p (double)
+    hez_cdf: np.ndarray       # hez-table p (double)
+    counts: np.ndarray        # [4, K] high-quality counts snapshot
+    lowmq: np.ndarray         # [4, K]
+    bq_all: np.ndarray
+    mq_all: np.ndarray
+    bq: np.ndarray
+    mq: np.ndarray
+    bq_read_count: np.ndarray
+    mq_read_count: np.ndarray
+    read_count_all: np.ndarray
+    pos_in_read: np.ndarray   # scalar per candidate: pir sum of the alt nt
+    fstrand: np.ndarray       # scalar per candidate: fstrand of the alt nt
+
+    def __len__(self):
+        return len(self.pos)
+
+
+def detect_snv_candidates(chrom: np.ndarray, arr: ChromArrays,
+                          cfg: GromConfig, mq_table: np.ndarray,
+                          hez_table: np.ndarray, scan_start: int,
+                          scan_end: int) -> SnvCandidates:
+    """Candidate selection (src/GROM.c:11126-11199). Returns candidates in
+    position order (one per position: the highest-ratio qualifying alt; ties
+    keep the earlier nucleotide)."""
+    L = arr.chr_len
+    lo = max(scan_start, 0)
+    hi = min(scan_end + 1, L)
+    if hi <= lo:
+        return _empty_candidates()
+    sl = slice(lo, hi)
+    ref = chrom[sl]
+    ref_upper = np.where(ref >= 97, ref - 32, ref)
+    not_n = (ref_upper != ord("N"))
+    gate = (arr.one_base_rd[sl] + arr.indel_sc_rd[sl]) > 0
+
+    counts = arr.snv[:, sl]                      # [4, W]
+    total = counts.sum(axis=0)
+    rc_all = arr.read_count_all[sl]
+    bq_all = arr.bq_all[sl]
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = counts.astype(np.float32) / total.astype(np.float32)  # [4, W]
+        ave_bq_ok = (bq_all.astype(np.float64) / rc_all.astype(np.float64)) >= cfg.min_ave_bq
+
+    ref_code = np.full(hi - lo, -1, dtype=np.int8)
+    for i, ch in enumerate(b"ACGT"):
+        ref_code[ref_upper == ch] = i
+
+    is_alt = np.arange(4)[:, None] != ref_code[None, :]
+    qual = (is_alt & (ratio >= np.float32(cfg.min_snv_ratio))
+            & (counts >= cfg.min_snv) & ave_bq_ok[None, :]
+            & gate[None, :] & not_n[None, :])
+
+    any_q = qual.any(axis=0)
+    if not any_q.any():
+        return _empty_candidates()
+    w = np.flatnonzero(any_q)
+    # best alt per position: max ratio, earliest nt on ties (strict > replaces)
+    r_masked = np.where(qual[:, w], ratio[:, w], -1.0)
+    best = np.argmax(r_masked, axis=0)  # argmax returns first max ✓
+
+    k = len(w)
+    gpos = w + lo
+    n_arr = total[w]
+    k_arr = counts[best, w]
+    from grom_tpu.stats.binom import lookup_cdf
+    binom = lookup_cdf(mq_table, n_arr, k_arr, cfg.max_trials)
+    hez = lookup_cdf(hez_table, n_arr, k_arr, cfg.max_trials)
+
+    return SnvCandidates(
+        pos=gpos.astype(np.int64), alt=best.astype(np.int8),
+        ratio=r_masked[best, np.arange(k)].astype(np.float64),
+        binom_cdf=binom, hez_cdf=hez,
+        counts=counts[:, w].copy(), lowmq=arr.snv_lowmq[:, sl][:, w].copy(),
+        bq_all=bq_all[w], mq_all=arr.mq_all[sl][w],
+        bq=arr.bq[sl][w], mq=arr.mq[sl][w],
+        bq_read_count=arr.bq_read_count[sl][w],
+        mq_read_count=arr.mq_read_count[sl][w],
+        read_count_all=rc_all[w],
+        pos_in_read=arr.pos_in_read[:, sl][best, w],
+        fstrand=arr.fstrand[:, sl][best, w],
+    )
+
+
+def _empty_candidates() -> SnvCandidates:
+    z = np.empty(0, np.int64)
+    z4 = np.empty((4, 0), np.int64)
+    return SnvCandidates(z, np.empty(0, np.int8), np.empty(0), np.empty(0),
+                         np.empty(0), z4, z4, z, z, z, z, z, z, z, z, z)
+
+
+def flush_filter(cand: SnvCandidates, chrom: np.ndarray, arr: ChromArrays,
+                 cfg: GromConfig, drv: DerivedConfig, scan_start: int,
+                 scan_end: int, skipped: int) -> np.ndarray:
+    """Replicates the batched depth filter (src/GROM.c:11203-11230, :15025):
+    candidates accumulate into a list flushed when it reaches
+    ``sv_list_len - 10`` entries; at each flush the cumulative mean depth over
+    non-N bases of [0, window_base) gates candidates:
+    keep iff read_count_all <= round(1.75 * ave_rd) or ratio >= 0.4.
+    Returns a bool keep-mask over candidates.
+    """
+    l0 = window_len_l0(cfg, drv)
+    flush_size = cfg.sv_list_len - 10
+    K = len(cand)
+    keep = np.zeros(K, dtype=bool)
+
+    ref_upper = np.where(chrom >= 97, chrom - 32, chrom)
+    not_n = ref_upper != ord("N")
+    depth = arr.rd_hi.astype(np.int64) + arr.rd_lo.astype(np.int64)
+
+    # cumulative sums for O(1) range stats
+    c_depth = np.concatenate([[0], np.cumsum(np.where(not_n, depth, 0))])
+    c_bases = np.concatenate([[0], np.cumsum(not_n.astype(np.int64))])
+
+    start_idx = 0
+    last_group_pos = 0
+    rc_total = 0
+    base_total = 0
+    while start_idx < K:
+        end_idx = min(start_idx + flush_size, K)
+        if end_idx - start_idx == flush_size:
+            # mid-scan flush at the scan position of the last candidate
+            flush_scan = int(cand.pos[end_idx - 1])
+            bound = window_base_at(flush_scan, scan_start, l0, skipped)
+        else:
+            bound = window_base_final(scan_end, scan_start, l0, skipped)
+        bound = max(bound, last_group_pos)
+        bound_c = min(bound, arr.chr_len)
+        rc_total += int(c_depth[bound_c] - c_depth[last_group_pos])
+        base_total += int(c_bases[bound_c] - c_bases[last_group_pos])
+        last_group_pos = bound_c
+        ave = (rc_total / base_total) if base_total else math.nan
+        thresh = c_round(cfg.snv_rd_min_factor * ave)
+        sel = slice(start_idx, end_idx)
+        rc = cand.read_count_all[sel].astype(np.float64)
+        keep[sel] = np.where(
+            np.isnan(thresh), cand.ratio[sel] >= cfg.high_cov_min_snv_ratio,
+            (rc <= thresh) | (cand.ratio[sel] >= cfg.high_cov_min_snv_ratio))
+        start_idx = end_idx
+    return keep
+
+
+def genotype_string(ratio: float, ploidy: int) -> str:
+    """GT from round(ratio*ploidy) copies, min 1 (src/GROM.c:11229-11252)."""
+    cn = int(c_round(ratio * ploidy))
+    if cn == 0:
+        cn = 1
+    return "/".join("1" if i < cn else "0" for i in range(ploidy))
+
+
+def format_snv_rows(cand: SnvCandidates, keep: np.ndarray, chrom: np.ndarray,
+                    chr_name: str, cfg: GromConfig) -> List[str]:
+    """Exact reference VCF rows (src/GROM.c:15072, same format at :11254):
+    note the empty ID column (two consecutive tabs) and REF preserving FASTA
+    case."""
+    rows = []
+    for i in np.flatnonzero(keep):
+        p = int(cand.pos[i])
+        alt_i = int(cand.alt[i])
+        gt = genotype_string(float(cand.ratio[i]), cfg.ploidy)
+        n_alt = int(cand.counts[alt_i, i])
+        rca = int(cand.read_count_all[i])
+        bq_mean = cand.bq_all[i] / rca if rca else math.nan
+        mq_mean = cand.mq_all[i] / rca if rca else math.nan
+        pir = cand.pos_in_read[i] / n_alt if n_alt else math.nan
+        fs = cand.fstrand[i] / n_alt if n_alt else math.nan
+        rows.append(
+            "%s\t%d\t\t%c\t%c\t.\t.\t.\tGT:PR:AF:A:C:G:T:AL:CL:GL:TL:BQ:MQ:PIR:FS\t"
+            "%s:%e:%e:%d:%d:%d:%d:%d:%d:%d:%d:%.2f:%.2f:%.2f:%.2f"
+            % (chr_name, p + 1, chr(chrom[p]), _DNA[alt_i], gt,
+               cand.binom_cdf[i], cand.ratio[i],
+               cand.counts[0, i], cand.counts[1, i], cand.counts[2, i], cand.counts[3, i],
+               cand.lowmq[0, i], cand.lowmq[1, i], cand.lowmq[2, i], cand.lowmq[3, i],
+               bq_mean, mq_mean, pir, fs))
+    return rows

@@ -1,0 +1,115 @@
+"""Pipeline driver: orchestrates ingest → scan → detect → VCF per chromosome.
+
+Replaces the reference's ``find_disc_svs`` chromosome loop
+(src/GROM.c:20440-21129) and ``main`` wiring (src/GROM.c:21865-22781).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from grom_tpu.call import scan as scan_mod
+from grom_tpu.call import snv as snv_mod
+from grom_tpu.config import DerivedConfig, GromConfig
+from grom_tpu.ingest import bam as bam_mod
+from grom_tpu.ingest import fasta as fasta_mod
+from grom_tpu.ingest.batches import build_batch
+from grom_tpu.ingest.insert_size import InsertStats, load_or_estimate
+from grom_tpu.stats import binom
+from grom_tpu.vcfio.writer import VcfWriter
+
+
+@dataclass
+class RunResult:
+    vcf_path: str
+    ctx_path: str
+    n_records: int
+    insert: InsertStats
+
+
+def run(cfg: GromConfig, file_date: Optional[str] = None) -> RunResult:
+    """Single-host run (the reference's serial mode)."""
+    info = fasta_mod.index_fasta(cfg.ref_fasta)
+    header, reads = bam_mod.read_bam(cfg.bam)
+
+    ins = load_or_estimate(cfg.bam, reads, cfg)
+    drv = DerivedConfig.from_insert_stats(cfg, ins.insert_mean, ins.insert_min,
+                                          ins.insert_max, ins.read_len,
+                                          ins.mapped_read_bases)
+
+    mq_table = binom.build_mq_table(cfg.min_mapq if cfg.min_mapq > 10 else 10,
+                                    cfg.max_trials)
+    hez_table = binom.build_hez_table(cfg.max_trials)
+
+    writer = VcfWriter(cfg.out_vcf, cfg.ref_fasta, file_date)
+    n_records = 0
+
+    # chromosome order: FASTA order; names lowercased in output like the
+    # reference's find_genome_length (src/GROM.c:1321-1428)
+    for refid, bam_name in enumerate(header.ref_names):
+        fa_name = fasta_mod.match_chromosome(bam_name, info.names)
+        if fa_name is None:
+            continue
+        out_name = fa_name.lower()
+        if fasta_mod.is_chry(fa_name) and cfg.gender == 0:
+            continue  # chrY skipped for female (src/GROM.c:20979-20988)
+        sel = np.flatnonzero(reads.refid == refid)
+        chrom = fasta_mod.load_chromosome(cfg.ref_fasta, info, fa_name)
+        rows = call_chromosome_snv(chrom, reads, sel, refid, out_name, cfg,
+                                   drv, mq_table, hez_table)
+        writer.write_rows(rows)
+        n_records += len(rows)
+    writer.close()
+
+    ctx_path = _ctx_path(cfg.out_vcf)
+    with open(ctx_path, "w") as f:
+        from grom_tpu.vcfio.writer import vcf_header
+        f.write(vcf_header(cfg.ref_fasta, file_date))
+    return RunResult(cfg.out_vcf, ctx_path, n_records, ins)
+
+
+def _ctx_path(out_vcf: str) -> str:
+    return (out_vcf[:-4] if out_vcf.endswith(".vcf") else out_vcf) + ".ctx.vcf"
+
+
+def _subset_reads(reads: bam_mod.RawReads, sel: np.ndarray) -> bam_mod.RawReads:
+    cig_parts = [reads.cigar[reads.cigar_off[i]:reads.cigar_off[i + 1]] for i in sel]
+    seq_parts = [reads.seq[reads.seq_off[i]:reads.seq_off[i + 1]] for i in sel]
+    qual_parts = [reads.qual[reads.seq_off[i]:reads.seq_off[i + 1]] for i in sel]
+    n_cig = np.array([len(c) for c in cig_parts], dtype=np.int64)
+    n_seq = reads.lseq[sel].astype(np.int64)
+    cigar_off = np.zeros(len(sel) + 1, np.int64)
+    np.cumsum(n_cig, out=cigar_off[1:])
+    seq_off = np.zeros(len(sel) + 1, np.int64)
+    np.cumsum(n_seq, out=seq_off[1:])
+    return bam_mod.RawReads(
+        refid=reads.refid[sel], pos=reads.pos[sel], mapq=reads.mapq[sel],
+        flag=reads.flag[sel], mrefid=reads.mrefid[sel], mpos=reads.mpos[sel],
+        tlen=reads.tlen[sel], lseq=reads.lseq[sel],
+        cigar=np.concatenate(cig_parts) if cig_parts else np.empty(0, np.uint32),
+        cigar_off=cigar_off,
+        seq=np.concatenate(seq_parts) if seq_parts else np.empty(0, np.uint8),
+        qual=np.concatenate(qual_parts) if qual_parts else np.empty(0, np.uint8),
+        seq_off=seq_off,
+        names=[reads.names[i] for i in sel] if reads.names else [],
+        sa_tags=[reads.sa_tags[i] for i in sel] if reads.sa_tags else [],
+    )
+
+
+def call_chromosome_snv(chrom: np.ndarray, reads: bam_mod.RawReads,
+                        sel: np.ndarray, refid: int, out_name: str,
+                        cfg: GromConfig, drv: DerivedConfig,
+                        mq_table: np.ndarray, hez_table: np.ndarray) -> List[str]:
+    sub = _subset_reads(reads, sel)
+    batch = build_batch(sub, refid, cfg.min_mapq, cfg.add_factor, cfg.rmdup)
+    scan_start, scan_end, skipped = scan_mod.scan_bounds(cfg, drv, sub.pos)
+    arr = scan_mod.accumulate_chromosome(chrom, batch, cfg, drv, scan_start)
+    cands = snv_mod.detect_snv_candidates(chrom, arr, cfg, mq_table, hez_table,
+                                          scan_start, scan_end)
+    keep = snv_mod.flush_filter(cands, chrom, arr, cfg, drv, scan_start,
+                                scan_end, skipped)
+    return snv_mod.format_snv_rows(cands, keep, chrom, out_name, cfg)

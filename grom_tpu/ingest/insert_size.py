@@ -1,0 +1,117 @@
+"""Insert-size estimation with the reference's exact semantics
+(src/GROM.c:1205-1318) plus the ``<bam>.mean``-style cache re-expressed as a
+JSON sidecar (src/GROM.c:994-1026).
+
+Sampling: stream records in order until ``insert_sample_size`` samples;
+unpaired reads contribute their read length, paired reads contribute isize
+when (mate mapped, same tid, pos<mpos, proper pair, isize>0); FUNMAP/FDUP
+records are excluded. ``mapped_read_bases`` counts l_qseq over sampled records
+with mapq >= min_mapq.
+
+Statistics: sort → median → drop inserts > 5*median → median again;
+min/max are quantile picks with the reference's exact index arithmetic —
+including ``max_index = end - min_index`` which reads one element PAST the
+truncation point when min_index is 0 (an off-by-one we reproduce).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from grom_tpu.config import GromConfig
+from grom_tpu.ingest.bam import FDUP, FMUNMAP, FPAIRED, FPROPER_PAIR, FUNMAP, RawReads
+
+
+@dataclass
+class InsertStats:
+    insert_mean: int
+    insert_min: int
+    insert_max: int
+    read_len: int          # g_lseq (median sampled read length)
+    mapped_read_bases: int  # g_mapped_reads
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__)
+
+    @staticmethod
+    def from_json(s: str) -> "InsertStats":
+        return InsertStats(**json.loads(s))
+
+
+def estimate_insert_stats(reads: RawReads, cfg: GromConfig) -> InsertStats:
+    flag = reads.flag
+    usable = ((flag & FUNMAP) == 0) & ((flag & FDUP) == 0)
+    unpaired = usable & ((flag & FPAIRED) == 0)
+    paired_ok = (usable & ((flag & FPAIRED) != 0) & ((flag & FMUNMAP) == 0)
+                 & (reads.refid == reads.mrefid)
+                 & (reads.pos < reads.mpos)
+                 & ((flag & FPROPER_PAIR) != 0)
+                 & (reads.tlen > 0))
+    contributes = unpaired | paired_ok
+    # cap at sample size in record order
+    idx = np.flatnonzero(contributes)
+    # mapped_read_bases counts records examined while sampling (i.e. all
+    # records until the sample fills); with fewer than sample_size samples
+    # that's every record.
+    if len(idx) > cfg.insert_sample_size:
+        last = idx[cfg.insert_sample_size - 1]
+        idx = idx[:cfg.insert_sample_size]
+        examined = slice(0, last + 1)
+    else:
+        examined = slice(None)
+    inserts = np.where(unpaired[idx], reads.lseq[idx], reads.tlen[idx]).astype(np.int64)
+    lseqs = reads.lseq[idx].astype(np.int64)
+
+    ex_flag = flag[examined]
+    ex_ok = ((ex_flag & FUNMAP) == 0) & ((ex_flag & FDUP) == 0) & \
+        (reads.mapq[examined] >= cfg.min_mapq)
+    mapped_read_bases = int(reads.lseq[examined][ex_ok].sum())
+
+    count = len(inserts)
+    if count == 0:
+        return InsertStats(0, 0, 0, 0, mapped_read_bases)
+    s = np.sort(inserts, kind="stable")
+    median = int(s[count // 2])
+    max_insert = median * cfg.insert_max_mult
+    # index of last element <= max_insert, +1 (src/GROM.c:1284-1292)
+    end = int(np.searchsorted(s, max_insert, side="right"))
+    # (the reference scans from the top and breaks at the first <=; with all
+    # elements > max_insert it leaves end=0+1 after the loop default fim_end=0)
+    if end == 0:
+        end = 1
+    insert_mean = int(s[end // 2])
+    prob2 = cfg.prob2
+    min_index = int(prob2 * end / 2)
+    max_index = end - min_index
+    insert_min = int(s[min_index])
+    # NOTE: when min_index == 0, max_index == end indexes one past the
+    # truncation boundary (the smallest discarded insert, or garbage in the
+    # reference when nothing was discarded). We clamp to the last element in
+    # that case — the reference reads uninitialized memory there.
+    insert_max = int(s[max_index]) if max_index < count else int(s[count - 1])
+
+    sl = np.sort(lseqs, kind="stable")
+    read_len = int(sl[count // 2])
+    return InsertStats(insert_mean, insert_min, insert_max, read_len, mapped_read_bases)
+
+
+def load_or_estimate(bam_path: str, reads: RawReads, cfg: GromConfig,
+                     use_cache: bool = True) -> InsertStats:
+    cache = bam_path + ".grom_tpu.mean.json"
+    if use_cache and os.path.exists(cache):
+        try:
+            with open(cache) as f:
+                return InsertStats.from_json(f.read())
+        except (ValueError, KeyError):
+            pass
+    st = estimate_insert_stats(reads, cfg)
+    try:
+        with open(cache, "w") as f:
+            f.write(st.to_json())
+    except OSError:
+        pass
+    return st

@@ -59,6 +59,7 @@ def _poisson_cdf_matrix(n_vals: np.ndarray, p: float, max_k: int,
     kf_d = kf.astype(np.float64)
     cdf = np.zeros((len(lam), max_k + 1), dtype=np.float64)
     mpow, mexp = math.pow, math.exp
+    np_err = np.seterr(all="ignore")  # wrapped factorial can be 0/negative
     for i in np.flatnonzero(rows_needed):
         la = float(lam[i])
         e = mexp(-la)
@@ -70,6 +71,7 @@ def _poisson_cdf_matrix(n_vals: np.ndarray, p: float, max_k: int,
             except (OverflowError, ZeroDivisionError):
                 run = math.inf if run > 0 else math.nan
             row[k + 1] = run
+    np.seterr(**np_err)
     return cdf
 
 
