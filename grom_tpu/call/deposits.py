@@ -1,0 +1,815 @@
+"""Full per-read evidence deposit engine (the dense+sparse half of the
+reference's read loop, src/GROM.c:6408-11085) in GLOBAL chromosome
+coordinates.
+
+Two kinds of state:
+
+* **commutative dense arrays** (rd, conc, ins, munmapped, soft-clip points,
+  *_rd counters) — accumulated vectorized after the event pass;
+* **ordered typed evidence** (del/dup/inv/ctx/indel families) — one primary
+  slot per (position, type) plus a 50-deep shared per-position "other" table
+  with tolerance keying, running-mean distances and dominant-swap
+  (src/GROM.c:7190-10800). These are order-dependent, so events are generated
+  per read in the reference's deposit order and replayed sequentially.
+
+Window-relative clamps in the reference never bind for whole-chromosome runs
+(backward reaches are < overlap_mult*insert_max behind the read and the scan
+trails exactly that far — see call/scan.py), so everything is global.
+
+Reference bugs reproduced deliberately (parity depends on them):
+  * sr_dup's aux split-loss temp uses the primary's end_adj_indel
+    (src/GROM.c:7996-7999, :9379-9382);
+  * sr_dup's first-set writes its read-end into the DEL_F read_end array
+    (src/GROM.c:8037/8043, :9416/9421);
+  * the ins-suppression reverse branch is nested unreachably inside the
+    forward branch (src/GROM.c:8837-8849);
+  * zero-weight (low-mapq) deposits still set distances/read-ranges.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from grom_tpu.config import DerivedConfig, GromConfig
+from grom_tpu.ingest.batches import ReadBatch
+from grom_tpu.ingest.bam import (CDEL, CDIFF, CEQUAL, CHARD_CLIP, CINS, CMATCH,
+                                 CREF_SKIP, CSOFT_CLIP, FMREVERSE, FMUNMAP,
+                                 FPAIRED, FREVERSE)
+
+# typed evidence ids (mirroring OTHER_* at src/GROM.c:663-676)
+E_DEL_F, E_DEL_R, E_DUP_F, E_DUP_R = 1, 2, 3, 4
+E_INV_F1, E_INV_R1, E_INV_F2, E_INV_R2 = 5, 6, 7, 8
+E_CTX_F, E_CTX_R = 9, 10
+E_INDEL_I, E_INDEL_D_F, E_INDEL_D_R = 11, 12, 13
+
+OTHER_OF = {E_DEL_F: 1, E_DEL_R: 2, E_DUP_F: 3, E_DUP_R: 4, E_INV_F1: 5,
+            E_INV_R1: 6, E_INV_F2: 7, E_INV_R2: 8, E_CTX_F: 9, E_CTX_R: 10,
+            E_INDEL_I: 11, E_INDEL_D_F: 12, E_INDEL_D_R: 13}
+
+EXACT_KEY = {E_INDEL_I, E_INDEL_D_F, E_INDEL_D_R}
+CTX_TYPES = {E_CTX_F, E_CTX_R}
+
+
+class Primary:
+    __slots__ = ("count", "dist", "rs", "re", "mchr", "seq")
+
+    def __init__(self):
+        self.count = 0
+        self.dist = 0.0
+        self.rs = 0
+        self.re = 0
+        self.mchr = 0
+        self.seq = None  # indel_i inserted sequence (first occurrence)
+
+
+class OtherSlot:
+    __slots__ = ("count", "type", "dist", "rs", "re", "mchr")
+
+    def __init__(self):
+        self.count = 0
+        self.type = 0
+        self.dist = 0.0
+        self.rs = 0
+        self.re = 0
+        self.mchr = 0
+
+
+@dataclass
+class EvidenceState:
+    """Sparse evidence store for one chromosome."""
+    primary: Dict[Tuple[int, int], Primary] = field(default_factory=dict)   # (etype,pos)
+    other: Dict[int, List[OtherSlot]] = field(default_factory=dict)         # pos → slots
+    other_len_cap: int = 50
+
+    def get_primary(self, etype: int, pos: int) -> Primary:
+        key = (etype, pos)
+        p = self.primary.get(key)
+        if p is None:
+            p = Primary()
+            self.primary[key] = p
+        return p
+
+    def peek(self, etype: int, pos: int) -> Optional[Primary]:
+        return self.primary.get((etype, pos))
+
+    def other_slots(self, pos: int) -> List[OtherSlot]:
+        sl = self.other.get(pos)
+        if sl is None:
+            sl = []
+            self.other[pos] = sl
+        return sl
+
+    def other_len(self, pos: int) -> int:
+        """#leading non-empty slots (src/GROM.c:11430-11441): the reference
+        scans until the first EMPTY slot; overwritten slots are never EMPTY,
+        appended slots are contiguous, so this equals len(slots) capped."""
+        sl = self.other.get(pos)
+        if not sl:
+            return 0
+        return min(len(sl), self.other_len_cap)
+
+
+def _tol(tol_base: float, count: int) -> float:
+    if count == 0:
+        return float("inf")
+    return tol_base * (1.0 + 1.0 / count)
+
+
+def deposit_typed(st: EvidenceState, etype: int, pos: int, dist: float,
+                  add: int, addf: float, range_val: int, cfg_other_len: int,
+                  range_mode: str = "end", mchr: int = -1,
+                  seq: Optional[bytes] = None, tol_base: float = 0.0,
+                  indel_i_cap: int = 50) -> None:
+    """One typed deposit with the reference's primary/other-slot semantics.
+
+    range_mode: 'end'    — subsequent deposits set re = range_val (ascending)
+                'minmax' — subsequent deposits extend [rs, re]
+                'max'    — subsequent deposits only grow re
+    For exact-keyed types (indels) dist must equal exactly; for ctx the key
+    includes mchr and the sign of the stored mean mate position.
+    """
+    p = st.get_primary(etype, pos)
+    exact = etype in EXACT_KEY
+    is_ctx = etype in CTX_TYPES
+
+    def match_primary() -> bool:
+        if exact:
+            return dist == float(p.dist)
+        if is_ctx:
+            if p.mchr != mchr:
+                return False
+            if dist >= 0:
+                return p.dist > 0 and abs(p.dist - dist) <= _tol(tol_base, p.count)
+            return p.dist < 0 and abs(abs(p.dist) - (-dist)) <= _tol(tol_base, p.count)
+        return abs(p.dist - dist) <= _tol(tol_base, p.count)
+
+    if p.count == 0:
+        # the reference's first-set branch triggers on count==0 — including
+        # after zero-weight deposits, whose dist/ranges get overwritten
+        p.count = add
+        p.dist = float(dist)
+        p.rs = range_val
+        p.re = range_val
+        p.mchr = mchr
+        if etype == E_INDEL_I and seq is not None and dist <= indel_i_cap:
+            p.seq = seq
+        return
+    if match_primary():
+        p.count += add
+        if not exact:
+            p.dist += addf * (float(dist) - p.dist) / p.count if p.count else 0.0
+        if range_mode == "end":
+            p.re = range_val
+        elif range_mode == "max":
+            if range_val > p.re:
+                p.re = range_val
+        else:
+            if range_val < p.rs:
+                p.rs = range_val
+            if range_val > p.re:
+                p.re = range_val
+        return
+
+    # --- other-slot path ---
+    slots = st.other_slots(pos)
+    oid = OTHER_OF[etype]
+    found = False
+    for s in slots:
+        if s.type == oid:
+            if exact:
+                ok = dist == int(s.dist + 0.5)
+            elif is_ctx:
+                if dist >= 0:
+                    ok = s.mchr == mchr and s.dist > 0 and \
+                        abs(s.dist - dist) <= _tol(tol_base, s.count)
+                else:
+                    ok = s.mchr == mchr and s.dist < 0 and \
+                        abs(abs(s.dist) - (-dist)) <= _tol(tol_base, s.count)
+            else:
+                ok = abs(s.dist - dist) <= _tol(tol_base, s.count)
+            if ok:
+                found = True
+                s.count += add
+                if not exact and s.count:
+                    s.dist += addf * (float(dist) - s.dist) / s.count
+                if range_mode == "end":
+                    s.re = range_val
+                elif range_mode == "max":
+                    if range_val > s.re:
+                        s.re = range_val
+                else:
+                    if range_val < s.rs:
+                        s.rs = range_val
+                    if range_val > s.re:
+                        s.re = range_val
+                if s.count > p.count:
+                    # dominant swap: the slot takes the old primary verbatim;
+                    # the primary takes the slot's dist rounded back to int
+                    # for exact-keyed types (src/GROM.c:7315-7322 uint32 cast)
+                    new_p_dist = float(int(s.dist + 0.5)) if exact else s.dist
+                    s_count, s_rs, s_re, s_mchr = s.count, s.rs, s.re, s.mchr
+                    s.count, s.dist, s.rs, s.re, s.mchr = \
+                        p.count, p.dist, p.rs, p.re, p.mchr
+                    p.count, p.dist, p.rs, p.re, p.mchr = \
+                        s_count, new_p_dist, s_rs, s_re, s_mchr
+                break
+    if not found:
+        if len(slots) < 50:
+            s = OtherSlot()
+            s.count = add
+            s.type = oid
+            s.dist = float(dist)
+            s.rs = range_val
+            s.re = range_val
+            s.mchr = mchr
+            slots.append(s)
+        else:
+            for s in slots:
+                if s.count <= add:
+                    s.count = add
+                    s.type = oid
+                    s.dist = float(dist)
+                    s.rs = range_val
+                    s.re = range_val
+                    s.mchr = mchr
+                    break
+
+
+# ---------------------------------------------------------------------------
+# Aux (SA/XP) split-read tag parsing
+# ---------------------------------------------------------------------------
+
+@dataclass
+class AuxSplit:
+    chrom: bytes
+    pos: int          # AS PARSED from the tag (1-based in SA — the reference
+                      # uses it without converting, an off-by-one kept for parity)
+    strand: int       # 0 = '+', 1 = '-'
+    mapq: int
+    start_adj: int
+    end_adj: int
+    end_adj_indel: int
+
+
+_AUX_NUM = re.compile(rb"(\d+)([A-Za-z])")
+
+
+def parse_aux(tag: Optional[bytes], is_xp: bool = False) -> Optional[AuxSplit]:
+    """Parse SA:Z 'chr,pos,strand,cigar,mq,...' (or XP 'chr,±pos,cigar,mq')
+    per src/GROM.c:14891-14958 + the aux cigar walk :6690-6731."""
+    if not tag:
+        return None
+    parts = tag.split(b",")
+    try:
+        if is_xp:
+            chrom = parts[0]
+            strand = 0 if parts[1][:1] == b"+" else 1
+            pos = int(parts[1][1:])
+            cigar = parts[2]
+            mapq = int(parts[3])
+        else:
+            chrom = parts[0]
+            pos = int(parts[1])
+            strand = 0 if parts[2][:1] == b"+" else 1
+            cigar = parts[3]
+            mapq = int(parts[4])
+    except (IndexError, ValueError):
+        return None
+    ops = _AUX_NUM.findall(cigar)
+    if not ops:
+        return None
+    start_adj = end_adj = 0
+    end_adj_indel = 0
+    if ops[0][1] == b"S":
+        start_adj = int(ops[0][0])
+    if ops[-1][1] == b"S":
+        end_adj = int(ops[-1][0])
+    for ln, ch in ops:
+        if ch == b"I":
+            end_adj_indel += int(ln)
+        elif ch == b"D":
+            end_adj_indel -= int(ln)
+    return AuxSplit(chrom, pos, strand, mapq, start_adj, end_adj, end_adj_indel)
+
+
+# ---------------------------------------------------------------------------
+# Dense accumulators
+# ---------------------------------------------------------------------------
+
+@dataclass
+class DenseArrays:
+    """Commutative per-base accumulators beyond ChromArrays."""
+    chr_len: int
+    rd: np.ndarray           # cdp_one_base_rd (ALL contributions)
+    conc: np.ndarray
+    ins: np.ndarray
+    munmapped_f: np.ndarray
+    munmapped_r: np.ndarray
+    sc_left: np.ndarray
+    sc_right: np.ndarray
+    sc_left_rd: np.ndarray
+    sc_right_rd: np.ndarray
+    sc_rd: np.ndarray
+    ctx_sc_left: np.ndarray
+    ctx_sc_right: np.ndarray
+    ctx_sc_left_rd: np.ndarray
+    ctx_sc_right_rd: np.ndarray
+    ctx_sc_rd: np.ndarray
+    indel_sc_left: np.ndarray
+    indel_sc_right: np.ndarray
+    indel_sc_left_rd: np.ndarray
+    indel_sc_right_rd: np.ndarray
+    indel_sc_rd: np.ndarray
+    indel_d_f_rd: np.ndarray
+    indel_d_r_rd: np.ndarray
+
+    @staticmethod
+    def zeros(L: int) -> "DenseArrays":
+        z = lambda: np.zeros(L, np.int64)
+        return DenseArrays(L, z(), z(), z(), z(), z(), z(), z(), z(), z(), z(),
+                           z(), z(), z(), z(), z(), z(), z(), z(), z(), z(),
+                           z(), z())
+
+
+def _apply_spans(dst, L, starts, ends, weights):
+    if not starts:
+        return
+    d = np.zeros(L + 1, np.int64)
+    np.add.at(d, np.array(starts), np.array(weights))
+    np.subtract.at(d, np.array(ends), np.array(weights))
+    dst += np.cumsum(d[:-1])
+
+
+# ---------------------------------------------------------------------------
+# The main per-read deposit pass
+# ---------------------------------------------------------------------------
+
+def run_deposits(chrom_len: int, batch: ReadBatch, chr_name_lower: str,
+                 cfg: GromConfig, drv: DerivedConfig,
+                 scan_start: int) -> Tuple[DenseArrays, EvidenceState]:
+    """Replay every kept read's deposits. Returns dense arrays + typed state."""
+    dense = DenseArrays.zeros(chrom_len)
+    st = EvidenceState()
+
+    im = drv.insert_max
+    imin = drv.insert_min
+    imean = drv.insert_mean
+    tol_base = float(im - imin)
+    add_factor = cfg.add_factor
+    reads = batch.reads
+    refid = int(reads.refid[0]) if len(reads) else 0
+    target_prefix = chr_name_lower.encode()
+
+    # span collectors for dense arrays
+    rd_s: List[int] = []
+    rd_e: List[int] = []
+    rd_w: List[int] = []
+    conc_s: List[int] = []
+    conc_e: List[int] = []
+    ins_s: List[int] = []
+    ins_e: List[int] = []
+    ins_w: List[int] = []
+    mf_s: List[int] = []
+    mf_e: List[int] = []
+    mf_w: List[int] = []
+    mr_s: List[int] = []
+    mr_e: List[int] = []
+    mr_w: List[int] = []
+
+    def rd_span(s, e, w=1):
+        s0 = max(s, 0)
+        e0 = min(e, chrom_len)
+        if e0 > s0:
+            rd_s.append(s0)
+            rd_e.append(e0)
+            rd_w.append(w)
+
+    def rd_point(p):
+        if 0 <= p < chrom_len:
+            rd_s.append(p)
+            rd_e.append(p + 1)
+            rd_w.append(1)
+
+    eligible = np.flatnonzero(batch.keep & (batch.pos >= scan_start))
+    splitread = cfg.splitread
+
+    for ri in eligible:
+        i = int(ri)
+        pos = int(batch.pos[i])
+        flag = int(batch.flag[i])
+        mq = int(batch.mapq[i])
+        mchr = int(batch.mchr[i])
+        mpos = int(batch.mpos[i])
+        tlen = int(batch.tlen[i])
+        lseq = int(batch.lseq[i])
+        sadj = int(batch.start_adj[i])
+        eadj = int(batch.end_adj[i])
+        eadj_i = int(batch.end_adj_indel[i])
+        add = add_factor if mq >= cfg.min_mapq else 0
+        addf = float(add)
+        rev = (flag & FREVERSE) != 0
+        mrev = (flag & FMREVERSE) != 0
+        paired = (flag & FPAIRED) != 0
+        munmap = (flag & FMUNMAP) != 0
+        same_chr = mchr == refid
+
+        read_end = pos - sadj + lseq - eadj - eadj_i
+        expected_end = pos - sadj - eadj_i + im - lseq
+
+        aux = None
+        if splitread:
+            aux = parse_aux(reads.sa_tags[i])
+        aux_match = (aux is not None and
+                     aux.chrom.lower().startswith(target_prefix))
+
+        # ---- soft-clip point deposits (src/GROM.c:7105-7170) ----
+        if sadj >= cfg.sc_min:
+            lp = pos - 1
+            if (not paired) or ((not rev) and (munmap or ((not munmap) and same_chr and mpos > pos))):
+                if 0 <= lp < chrom_len:
+                    dense.sc_left[lp] += add
+                    dense.sc_left_rd[lp] += 1
+                    dense.sc_rd[lp] += 1
+            if paired and not munmap and not same_chr and rev:
+                if 0 <= lp < chrom_len:
+                    dense.ctx_sc_left[lp] += add
+                    dense.ctx_sc_left_rd[lp] += 1
+                    dense.ctx_sc_rd[lp] += 1
+            if paired and not munmap and same_chr and rev and abs(tlen) <= im and mpos < pos:
+                if 0 <= lp < chrom_len:
+                    dense.indel_sc_left[lp] += add
+                    dense.indel_sc_left_rd[lp] += 1
+                    dense.indel_sc_rd[lp] += 1
+        if eadj >= cfg.sc_min:
+            rp = read_end  # pos - sadj + lseq - eadj - eadj_i
+            if (not paired) or (rev and (munmap or ((not munmap) and same_chr and mpos < pos))):
+                if 0 <= rp < chrom_len:
+                    dense.sc_right[rp] += add
+                    dense.sc_right_rd[rp] += 1
+                    dense.sc_rd[rp] += 1
+            if paired and not munmap and not same_chr and not rev:
+                if 0 <= rp < chrom_len:
+                    dense.ctx_sc_right[rp] += add
+                    dense.ctx_sc_right_rd[rp] += 1
+                    dense.ctx_sc_rd[rp] += 1
+            if paired and not munmap and same_chr and not rev and abs(tlen) <= im and mpos > pos:
+                if 0 <= rp < chrom_len:
+                    dense.indel_sc_right[rp] += add
+                    dense.indel_sc_right_rd[rp] += 1
+                    dense.indel_sc_rd[rp] += 1
+
+        # ---- physical rd over clipped aligned span (src/GROM.c:7172-7181) ----
+        span_end = pos - sadj + lseq - eadj - eadj_i
+        if span_end > pos:
+            rd_span(pos, span_end)
+
+        # ---- cigar walk: indel_i / indel_d (src/GROM.c:7190-7430) ----
+        cig = reads.cigar_of(i)
+        if len(cig):
+            tpos = pos
+            rbase = 0
+            for c in cig:
+                op = int(c) & 0xF
+                ln = int(c) >> 4
+                if op == CSOFT_CLIP:
+                    rbase += ln
+                elif op in (CMATCH, CREF_SKIP, CEQUAL, CDIFF):
+                    tpos += ln
+                    if op != CREF_SKIP:
+                        rbase += ln
+                elif op == CINS:
+                    if 0 <= tpos < chrom_len:
+                        seq = reads.seq_of(i)[rbase:rbase + ln] if ln <= cfg.indel_i_seq_len else None
+                        deposit_typed(st, E_INDEL_I, tpos, float(ln), add, addf,
+                                      0, cfg.other_len, seq=seq,
+                                      indel_i_cap=cfg.indel_i_seq_len)
+                    rbase += ln
+                elif op == CDEL:
+                    if 0 <= tpos < chrom_len:
+                        dense.indel_d_f_rd[tpos] += 1
+                        deposit_typed(st, E_INDEL_D_F, tpos, float(ln), add, addf, 0,
+                                      cfg.other_len)
+                    dend = tpos + ln - 1
+                    if 0 <= dend < chrom_len:
+                        dense.indel_d_r_rd[dend] += 1
+                        deposit_typed(st, E_INDEL_D_R, dend, float(ln), add, addf, 0,
+                                      cfg.other_len)
+                    tpos += ln
+
+        # ---- split-read deletion evidence (src/GROM.c:7431-7947) ----
+        sr_del = False
+        lp_s = lp_e = 0
+        if aux_match and aux.mapq >= cfg.min_mapq and mq >= cfg.min_mapq:
+            same_strand = (not rev and aux.strand == 0) or (rev and aux.strand == 1)
+            if same_strand:
+                aux_end = aux.pos - aux.start_adj + lseq - aux.end_adj - aux.end_adj_indel
+                if paired and not munmap and same_chr:
+                    if not rev and aux.strand == 0:
+                        if pos < aux.pos and tlen <= im and aux.pos < mpos:
+                            gap = aux.pos - read_end
+                            if 0 < gap < im:
+                                if (abs(lseq - eadj - aux.start_adj) <= cfg.max_split_loss
+                                        and lseq - sadj - eadj - eadj_i >= cfg.min_sr_len
+                                        and lseq - aux.start_adj - aux.end_adj - aux.end_adj_indel >= cfg.min_sr_len):
+                                    sr_del = True
+                                    lp_s, lp_e = read_end, aux.pos
+                    elif rev and aux.strand == 1:
+                        if aux.pos < pos and abs(tlen) < im and mpos < aux.pos:
+                            if (abs(lseq - sadj - aux.end_adj) <= cfg.max_split_loss
+                                    and lseq - sadj - eadj - eadj_i >= cfg.min_sr_len
+                                    and lseq - aux.start_adj - aux.end_adj - aux.end_adj_indel >= cfg.min_sr_len):
+                                if aux_end < pos:
+                                    sr_del = True
+                                    lp_s, lp_e = aux_end, pos
+                else:
+                    if not rev and aux.strand == 0:
+                        if pos < aux.pos:
+                            gap = aux.pos - read_end
+                            if 0 < gap < im:
+                                sr_del = True
+                                lp_s, lp_e = read_end, aux.pos
+                    elif rev and aux.strand == 1:
+                        if aux.pos < pos and pos - aux_end < im:
+                            if aux_end < pos:
+                                sr_del = True
+                                lp_s, lp_e = aux_end, pos
+        if sr_del:
+            gap = lp_e - lp_s
+            if gap < drv.read_len and gap < im - imean:
+                if 0 <= lp_s < chrom_len:
+                    dense.indel_d_f_rd[lp_s] += 1
+                    deposit_typed(st, E_INDEL_D_F, lp_s, float(gap), add, addf, 0,
+                                  cfg.other_len)
+                if 0 <= lp_e - 1 < chrom_len:
+                    dense.indel_d_r_rd[lp_e - 1] += 1
+                    deposit_typed(st, E_INDEL_D_R, lp_e - 1, float(gap), add, addf, 0,
+                                  cfg.other_len)
+            rd_point(lp_s)
+            lo_read = min(pos, aux.pos)
+            hi_read = max(pos, aux.pos)
+            if 0 <= lp_s < chrom_len:
+                deposit_typed(st, E_DEL_F, lp_s, float(gap + imean), add, addf,
+                              lo_read, cfg.other_len, range_mode="max",
+                              tol_base=tol_base)
+            rd_point(lp_e - 1)
+            if 0 <= lp_e - 1 < chrom_len:
+                deposit_typed(st, E_DEL_R, lp_e - 1, float(gap + imean), add, addf,
+                              hi_read, cfg.other_len, range_mode="minmax",
+                              tol_base=tol_base)
+
+        # ---- orientation-based discordant-pair deposits (src/GROM.c:7947+) ----
+        insert_temp = imean - 2 * lseq if imean - 2 * lseq > 0 else 0
+        inv_tol = float(im - imin + insert_temp)
+
+        if paired and not munmap:
+            if same_chr:
+                if mpos > pos:
+                    if not rev and mrev:  # FR
+                        if imin <= tlen <= im:
+                            # split-read duplication? (src/GROM.c:7980-8343)
+                            sr_dup = False
+                            if (splitread and aux_match and aux.mapq >= cfg.min_mapq
+                                    and mq >= cfg.min_mapq and not rev
+                                    and aux.strand == 0 and pos < aux.pos and aux.pos < mpos):
+                                eai_t = eadj_i if eadj_i > 0 else 0
+                                # reference bug: aux temp uses the PRIMARY's value
+                                aux_eai_t = eadj_i if aux.end_adj_indel > 0 else 0
+                                if (abs(lseq - sadj - aux.end_adj) <= cfg.max_split_loss
+                                        and lseq - sadj - eadj - eai_t >= cfg.min_sr_len
+                                        and lseq - aux.start_adj - aux.end_adj - aux_eai_t >= cfg.min_sr_len):
+                                    sr_dup = True
+                                    dlp_s = pos
+                                    dlp_e = aux.pos - aux.start_adj + lseq - aux.end_adj - aux.end_adj_indel
+                            if sr_dup:
+                                _sr_dup_deposit(st, dense, dlp_s, dlp_e, pos,
+                                                aux.pos, add, addf, imean,
+                                                tol_base, cfg, chrom_len,
+                                                rd_point)
+                            else:
+                                s0, e0 = read_end, mpos
+                                s0c, e0c = max(s0, 0), min(e0, chrom_len)
+                                if e0c > s0c:
+                                    conc_s.append(s0c)
+                                    conc_e.append(e0c)
+                                    rd_span(s0, e0)
+                        elif tlen > 2 * im:
+                            lo = read_end
+                            hi = min(expected_end, mpos)
+                            rd_span(lo, hi)
+                            for x in range(max(lo, 0), min(hi, chrom_len)):
+                                full = (eadj < cfg.sc_min) or (x == lo)
+                                deposit_typed(st, E_DEL_F, x, float(tlen),
+                                              add if full else add // 2, addf if full else addf / 2.0,
+                                              pos, cfg.other_len, range_mode="end",
+                                              tol_base=tol_base)
+                        elif tlen > im:
+                            lo = read_end
+                            hi = min(mpos, chrom_len)
+                            rd_span(lo, hi)
+                            f_limit = pos - sadj - eadj_i + im - lseq
+                            r_limit = pos - sadj + tlen - im + lseq
+                            for x in range(max(lo, 0), hi):
+                                if x < f_limit:
+                                    full = (eadj < cfg.sc_min) or (x == lo)
+                                    deposit_typed(st, E_DEL_F, x, float(tlen),
+                                                  add if full else add // 2,
+                                                  addf if full else addf / 2.0,
+                                                  pos, cfg.other_len, range_mode="end",
+                                                  tol_base=tol_base)
+                                elif abs(tlen) <= 2 * im and x > r_limit:
+                                    full = (sadj < cfg.sc_min) or (x == hi - 1)
+                                    deposit_typed(st, E_DEL_R, x, float(tlen),
+                                                  add if full else add // 2,
+                                                  addf if full else addf / 2.0,
+                                                  mpos, cfg.other_len, range_mode="minmax",
+                                                  tol_base=tol_base)
+                        elif tlen < imin:
+                            no_ins = False
+                            if (splitread and aux_match and
+                                    ((not rev and aux.strand == 0) or (rev and aux.strand == 1)) and
+                                    paired and not munmap and same_chr and
+                                    (not rev and aux.strand == 0) and
+                                    aux.pos < pos < mpos):
+                                no_ins = True
+                            if not no_ins:
+                                s0, e0 = read_end, mpos
+                                s0c, e0c = max(s0, 0), min(e0, chrom_len)
+                                if e0c > s0c:
+                                    ins_s.append(s0c)
+                                    ins_e.append(e0c)
+                                    ins_w.append(add)
+                                    rd_span(s0, e0)
+                    elif not rev and not mrev:  # FF → INV_F1
+                        if mpos - pos >= 10:
+                            lo = read_end
+                            hi = min(expected_end, mpos)
+                            rd_span(lo, hi)
+                            for x in range(max(lo, 0), min(hi, chrom_len)):
+                                full = (eadj < cfg.sc_min) or (x == lo)
+                                deposit_typed(st, E_INV_F1, x, float(tlen),
+                                              add if full else add // 2,
+                                              addf if full else addf / 2.0,
+                                              pos, cfg.other_len, range_mode="end",
+                                              tol_base=inv_tol)
+                    elif rev:
+                        if mpos - pos >= 10:
+                            lo = pos - sadj - im + 2 * lseq
+                            hi = pos
+                            rd_span(lo, hi)
+                            etype = E_INV_R1 if mrev else E_DUP_R
+                            tb = inv_tol if mrev else tol_base
+                            for x in range(max(lo, 0), min(hi, chrom_len)):
+                                full = (sadj < cfg.sc_min) or (x == hi - 1)
+                                deposit_typed(st, etype, x, float(tlen),
+                                              add if full else add // 2,
+                                              addf if full else addf / 2.0,
+                                              pos, cfg.other_len, range_mode="end",
+                                              tol_base=tb)
+                else:  # mpos <= pos
+                    if rev and not mrev:  # RF
+                        if imin <= abs(tlen) <= im:
+                            sr_dup = False
+                            if (splitread and aux_match and aux.mapq >= cfg.min_mapq
+                                    and mq >= cfg.min_mapq and rev and aux.strand == 1
+                                    and paired and not munmap and same_chr
+                                    and aux.pos < pos and mpos < aux.pos):
+                                eai_t = eadj_i if eadj_i > 0 else 0
+                                aux_eai_t = eadj_i if aux.end_adj_indel > 0 else 0
+                                if (abs(lseq - aux.start_adj - eadj) <= cfg.max_split_loss
+                                        and lseq - sadj - eadj - eai_t >= cfg.min_sr_len
+                                        and lseq - aux.start_adj - aux.end_adj - aux_eai_t >= cfg.min_sr_len):
+                                    sr_dup = True
+                                    dlp_s = aux.pos
+                                    dlp_e = read_end
+                            if sr_dup:
+                                _sr_dup_deposit(st, dense, dlp_s, dlp_e, pos,
+                                                aux.pos, add, addf, imean,
+                                                tol_base, cfg, chrom_len,
+                                                rd_point)
+                        elif abs(tlen) > 2 * im:
+                            lo = pos - sadj - im + 2 * lseq
+                            hi = pos
+                            rd_span(lo, hi)
+                            for x in range(max(lo, 0), min(hi, chrom_len)):
+                                full = (sadj < cfg.sc_min) or (x == hi - 1)
+                                deposit_typed(st, E_DEL_R, x, float(abs(tlen)),
+                                              add if full else add // 2,
+                                              addf if full else addf / 2.0,
+                                              pos, cfg.other_len, range_mode="end",
+                                              tol_base=tol_base)
+                    elif not rev and not mrev:  # FF → INV_F2
+                        if pos - mpos >= 10:
+                            lo = read_end
+                            hi = expected_end
+                            rd_span(lo, hi)
+                            for x in range(max(lo, 0), min(hi, chrom_len)):
+                                full = (eadj < cfg.sc_min) or (x == lo)
+                                deposit_typed(st, E_INV_F2, x, float(abs(tlen)),
+                                              add if full else add // 2,
+                                              addf if full else addf / 2.0,
+                                              pos, cfg.other_len, range_mode="end",
+                                              tol_base=inv_tol)
+                    elif mrev:
+                        if pos - mpos >= 10:
+                            if not rev:  # RR?? no: fwd read, mate rev, mpos<pos → DUP_F
+                                lo = read_end
+                                hi = expected_end
+                                rd_span(lo, hi)
+                                for x in range(max(lo, 0), min(hi, chrom_len)):
+                                    full = (eadj < cfg.sc_min) or (x == lo)
+                                    deposit_typed(st, E_DUP_F, x, float(abs(tlen)),
+                                                  add if full else add // 2,
+                                                  addf if full else addf / 2.0,
+                                                  pos, cfg.other_len, range_mode="end",
+                                                  tol_base=tol_base)
+                            else:  # rev+mrev → INV_R2
+                                lo = pos - sadj - im + 2 * lseq
+                                if lo < mpos + lseq:
+                                    lo = mpos + lseq
+                                hi = pos
+                                rd_span(lo, hi)
+                                for x in range(max(lo, 0), min(hi, chrom_len)):
+                                    full = (sadj < cfg.sc_min) or (x == hi - 1)
+                                    deposit_typed(st, E_INV_R2, x, float(abs(tlen)),
+                                                  add if full else add // 2,
+                                                  addf if full else addf / 2.0,
+                                                  pos, cfg.other_len, range_mode="end",
+                                                  tol_base=inv_tol)
+            else:  # mate on another chromosome → CTX
+                if not rev:
+                    lo = read_end
+                    hi = expected_end
+                    rd_span(lo, hi)
+                    key_mpos = float(mpos) if not mrev else float(-mpos)
+                    for x in range(max(lo, 0), min(hi, chrom_len)):
+                        full = (eadj < cfg.sc_min) or (x == lo)
+                        deposit_typed(st, E_CTX_F, x, key_mpos,
+                                      add if full else add // 2,
+                                      addf if full else addf / 2.0,
+                                      pos, cfg.other_len, range_mode="end",
+                                      mchr=mchr, tol_base=tol_base)
+                else:
+                    lo = pos - sadj + lseq - im + lseq
+                    hi = pos
+                    rd_span(lo, hi)
+                    key_mpos = float(mpos) if not mrev else float(-mpos)
+                    for x in range(max(lo, 0), min(hi, chrom_len)):
+                        full = (sadj < cfg.sc_min) or (x == hi - 1)
+                        deposit_typed(st, E_CTX_R, x, key_mpos,
+                                      add if full else add // 2,
+                                      addf if full else addf / 2.0,
+                                      pos, cfg.other_len, range_mode="end",
+                                      mchr=mchr, tol_base=tol_base)
+        elif paired and munmap:
+            if not rev:
+                s0, e0 = read_end, expected_end
+                s0c, e0c = max(s0, 0), min(e0, chrom_len)
+                if e0c > s0c:
+                    mf_s.append(s0c)
+                    mf_e.append(e0c)
+                    mf_w.append(add)
+                    rd_span(s0, e0)
+            else:
+                s0 = pos - sadj + lseq + eadj_i - im + lseq
+                e0 = pos
+                s0c, e0c = max(s0, 0), min(e0, chrom_len)
+                if e0c > s0c:
+                    mr_s.append(s0c)
+                    mr_e.append(e0c)
+                    mr_w.append(add)
+                    rd_span(s0, e0)
+
+    # apply dense spans
+    _apply_spans(dense.rd, chrom_len, rd_s, rd_e, rd_w)
+    _apply_spans(dense.conc, chrom_len, conc_s, conc_e, [1] * len(conc_s))
+    _apply_spans(dense.ins, chrom_len, ins_s, ins_e, ins_w)
+    _apply_spans(dense.munmapped_f, chrom_len, mf_s, mf_e, mf_w)
+    _apply_spans(dense.munmapped_r, chrom_len, mr_s, mr_e, mr_w)
+    return dense, st
+
+
+def _sr_dup_deposit(st, dense, lp_s, lp_e, pos, aux_pos, add, addf, imean,
+                    tol_base, cfg, chrom_len, rd_point):
+    """Split-read duplication deposit (src/GROM.c:8016-8343, :9402-9728):
+    dup_f at lp_e, dup_r at lp_s-1, dist = lp_e - lp_s - insert_mean.
+    The reference's first-set also stamps the DEL_F read_end array at the
+    dup_f position (src/GROM.c:8037-8046) — reproduced."""
+    dist = float(lp_e - lp_s - imean)
+    hi_read = max(pos, aux_pos)
+    lo_read = min(pos, aux_pos)
+    rd_point(lp_e)
+    if 0 <= lp_e < chrom_len:
+        first_set = st.peek(E_DUP_F, lp_e) is None or st.peek(E_DUP_F, lp_e).count == 0
+        deposit_typed(st, E_DUP_F, lp_e, dist, add, addf, hi_read,
+                      cfg.other_len, range_mode="minmax", tol_base=tol_base)
+        if first_set:
+            delf = st.get_primary(E_DEL_F, lp_e)
+            delf.re = hi_read
+    rd_point(lp_s - 1)
+    if 0 <= lp_s - 1 < chrom_len:
+        deposit_typed(st, E_DUP_R, lp_s - 1, dist, add, addf, lo_read,
+                      cfg.other_len, range_mode="minmax", tol_base=tol_base)

@@ -1,0 +1,358 @@
+"""Small-indel detection and emission.
+
+Re-expresses the reference's per-position INDEL_INS / INDEL_DEL logic
+(src/GROM.c:11340-11750) and the emission pass (src/GROM.c:16249-16560).
+Detection is a sparse event walk: only positions whose indel evidence clears
+``min_disc`` matter, so we vectorize the threshold screen and run the exact
+start/end pairing state machine over the surviving positions in order.
+
+Reference quirks reproduced:
+  * the INDEL_DEL emission loop runs ``a < index`` — the final (still "open")
+    candidate entry is never emitted (src/GROM.c:16349);
+  * homopolymer run #2 compares against ``ref_char + 1`` — an off-by-one on
+    the character value, so it is almost always 1 (src/GROM.c:16278,16447);
+  * insertion END is -1+1=0; several emitted fields come from untouched
+    (zero) memory;
+  * VCF sample columns are printed in C argument order, which does NOT match
+    the FORMAT labels for INDEL_DEL (SRD:ERD get the conc values, SOT:EOT get
+    the rd values, src/GROM.c:16482).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from grom_tpu.call.deposits import (DenseArrays, E_INDEL_D_F, E_INDEL_D_R,
+                                    E_INDEL_I, EvidenceState)
+from grom_tpu.call.scan import ChromArrays
+from grom_tpu.config import DerivedConfig, GromConfig
+
+
+@dataclass
+class InsCandidate:
+    start: int
+    binom: float
+    hez: float
+    dist: int
+    conc: int
+    i: int
+    rd: int
+    sc: int
+    other_len: int
+    seq: Optional[bytes]
+
+
+@dataclass
+class DelCandidate:
+    start: int = -1
+    end: int = -1
+    start_binom: float = 0.0
+    start_hez: float = 0.0
+    start_conc: int = 0
+    f: int = 0
+    start_rd: int = 0
+    start_sc: int = 0
+    start_other_len: int = 0
+    end_binom: float = 0.0
+    end_hez: float = 0.0
+    end_conc: int = 0
+    r: int = 0
+    end_rd: int = 0
+    end_sc: int = 0
+    end_other_len: int = 0
+
+
+def detect_indels(chrom: np.ndarray, arr: ChromArrays, dense: DenseArrays,
+                  st: EvidenceState, cfg: GromConfig, drv: DerivedConfig,
+                  mq_table: np.ndarray, hez_table: np.ndarray,
+                  scan_start: int, scan_end: int
+                  ) -> Tuple[List[InsCandidate], List[DelCandidate], int]:
+    """Returns (ins_candidates, del_candidates, del_list_index).
+
+    del_list_index mirrors the reference's cdp_indel_d_list_index so the
+    emitter can reproduce the off-by-one (last entry dropped).
+    """
+    af = cfg.add_factor
+    thr1 = cfg.pval_threshold1
+    base_tot = (arr.snv.sum(axis=0) + arr.snv_lowmq.sum(axis=0)).astype(np.int64)
+    gate = (dense.rd + dense.indel_sc_rd) > 0
+
+    # candidate positions: any position with primary indel evidence
+    events = []  # (pos, kind) kind: 0=ins, 1=d_f, 2=d_r
+    for (etype, pos), p in st.primary.items():
+        if etype == E_INDEL_I and p.count // af >= 1:
+            events.append((pos, 0, p))
+        elif etype == E_INDEL_D_F:
+            events.append((pos, 1, p))
+        elif etype == E_INDEL_D_R:
+            events.append((pos, 2, p))
+    events.sort(key=lambda t: (t[0], t[1]))
+
+    ins_list: List[InsCandidate] = []
+    del_list: List[DelCandidate] = []
+    d_index = -1
+
+    L = arr.chr_len
+    for pos, kind, p in events:
+        if pos <= 2 * cfg.overlap_mult * drv.insert_max:
+            continue
+        if pos < scan_start or pos > scan_end or pos >= L:
+            continue
+        if not gate[pos]:
+            continue
+        rd_base = int(base_tot[pos])
+        if kind == 0:
+            i_temp = p.count
+            if i_temp // af > rd_base:
+                i_temp = rd_base * af
+            if i_temp // af < cfg.min_disc or rd_base > cfg.max_trials:
+                continue
+            binom = mq_table[rd_base][i_temp // af]
+            k1 = (i_temp + int(dense.indel_sc_left[pos])) // af
+            if k1 < rd_base:
+                hez = hez_table[rd_base][k1]
+                k2 = (i_temp + int(dense.indel_sc_right[pos])) // af
+                if k2 < rd_base:
+                    if hez_table[rd_base][k2] > hez:
+                        hez = hez_table[rd_base][k2]
+                else:
+                    hez = hez_table[rd_base][rd_base]
+            else:
+                hez = hez_table[rd_base][rd_base]
+            if binom <= thr1 and len(ins_list) < cfg.sv_list_len - 1:
+                sc = int(dense.sc_left[pos + 1]) if pos + 1 < L else 0
+                sc += int(dense.sc_right[pos])
+                ins_list.append(InsCandidate(
+                    start=pos, binom=float(binom), hez=float(hez),
+                    dist=int(p.dist), conc=int(dense.conc[pos]), i=i_temp,
+                    rd=rd_base, sc=sc, other_len=st.other_len(pos),
+                    seq=p.seq))
+        elif kind == 1:
+            f_temp = p.count
+            rd_t = f_temp // af + rd_base
+            if f_temp // af < cfg.min_disc or rd_t > cfg.max_trials:
+                continue
+            binom = mq_table[rd_t][f_temp // af]
+            k = (f_temp + int(dense.indel_sc_right[pos])) // af
+            hez = hez_table[rd_t][k] if k < rd_t else hez_table[rd_t][rd_t]
+            if binom > thr1:
+                continue
+            fields = dict(start=pos, start_binom=float(binom),
+                          start_hez=float(hez), start_conc=int(dense.conc[pos]),
+                          f=f_temp, start_rd=rd_t,
+                          start_sc=int(dense.sc_right[pos]),
+                          start_other_len=st.other_len(pos))
+            if d_index == -1:
+                d_index = 0
+                del_list.append(DelCandidate(**fields))
+            else:
+                cur = del_list[d_index]
+                if cur.start != -1 and cur.end != -1:
+                    if d_index < cfg.sv_list_len - 1:
+                        d_index += 1
+                        del_list.append(DelCandidate(**fields))
+                elif (pos - cur.start > drv.read_len and cur.end == -1) or \
+                        binom < cur.start_binom:
+                    old_end = cur.end
+                    for k2, v in fields.items():
+                        setattr(cur, k2, v)
+                    if old_end < cur.start:
+                        cur.end = -1
+                    else:
+                        cur.end = old_end
+        else:  # kind == 2: d_r
+            r_temp = p.count
+            rd_t = r_temp // af + rd_base
+            if d_index < 0 or r_temp // af < cfg.min_disc or rd_t > cfg.max_trials:
+                continue
+            binom = mq_table[rd_t][r_temp // af]
+            k = (r_temp + int(dense.indel_sc_left[pos])) // af
+            hez = hez_table[rd_t][k] if k < rd_t else hez_table[rd_t][rd_t]
+            if binom > thr1:
+                continue
+            cur = del_list[d_index]
+            dist_ok = (float(pos) - float(cur.start) - float(p.dist)) < 5.0
+            set_end = False
+            if dist_ok and cur.start != -1 and cur.end != -1:
+                set_end = True
+            elif dist_ok and (cur.end == -1 or binom < cur.end_binom):
+                set_end = True
+            if set_end:
+                cur.end = pos
+                cur.end_binom = float(binom)
+                cur.end_hez = float(hez)
+                cur.end_conc = int(dense.conc[pos])
+                cur.r = r_temp
+                cur.end_rd = rd_t
+                cur.end_sc = int(dense.sc_left[pos])
+                cur.end_other_len = st.other_len(pos)
+    return ins_list, del_list, d_index
+
+
+def _homopolymer_ins(chrom: np.ndarray, start: int) -> int:
+    """src/GROM.c:16256-16300: left run from ``start`` inclusive, plus the
+    buggy right run against chr[start]+1."""
+    L = len(chrom)
+    h1 = 1
+    c = chrom[start]
+    for b in range(1, 20):
+        if start - b >= 0 and chrom[start - b] == c:
+            h1 += 1
+        else:
+            break
+    h2 = 1
+    if int(chrom[start]) + 1 < L:  # buggy guard: char value vs chromosome len
+        c2 = int(chrom[start]) + 1
+        for b in range(1, 20):
+            if start + b + 1 < L and int(chrom[start + b + 1]) == c2:
+                h2 += 1
+            else:
+                break
+    return max(h1, h2)
+
+
+def _homopolymer_del(chrom: np.ndarray, start: int, end: int) -> int:
+    """src/GROM.c:16425-16470: left run from start-1, buggy right run against
+    chr[end]+1."""
+    L = len(chrom)
+    h1 = 1
+    if int(chrom[start]) - 1 >= 0:  # buggy guard (char value)
+        c = chrom[start - 1] if start - 1 >= 0 else 0
+        for b in range(1, 20):
+            if start - b - 1 >= 0 and chrom[start - b - 1] == c:
+                h1 += 1
+            else:
+                break
+    h2 = 1
+    if int(chrom[end]) + 1 < L:
+        c2 = int(chrom[end]) + 1
+        for b in range(1, 20):
+            if end + b + 1 < L and int(chrom[end + b + 1]) == c2:
+                h2 += 1
+            else:
+                break
+    return max(h1, h2)
+
+
+def format_indel_rows(chrom: np.ndarray, chr_name: str,
+                      ins_list: List[InsCandidate],
+                      del_list: List[DelCandidate], d_index: int,
+                      del2: List, cfg: GromConfig, drv: DerivedConfig
+                      ) -> List[str]:
+    """Emission (src/GROM.c:16249-16560). ``del2`` is the clustered SV
+    deletion list (for reciprocal-overlap dedup); entries need .start, .end,
+    .start_binom, .end_binom attributes."""
+    af = float(cfg.add_factor)
+    rows: List[str] = []
+    gt_cap = 100  # cdp_snv_gt_string_len (src/GROM.c:1477)
+
+    for c in ins_list:
+        if not (c.binom <= cfg.pval_threshold and
+                (c.i / c.rd if c.rd else math.inf) > cfg.min_indel_ratio * af):
+            continue
+        hp = _homopolymer_ins(chrom, c.start)
+        if hp > cfg.max_homopolymer:
+            continue
+        if c.dist <= cfg.indel_i_seq_len and c.seq is not None:
+            alt = c.seq[:c.dist].decode()
+        else:
+            alt = "<INS>"
+        rows.append(
+            "%s\t%d\t.\t.\t%s\t.\t.\tEND=%d\tSPR:SEV:SRD:SCO:ECO:SOT:EOT:SSC:HP\t"
+            "%e:%.1f:%d:%d:%d:%d:%d:%d:%d"
+            % (chr_name, c.start + 1, alt, 0, c.binom, c.i / af, c.rd,
+               c.conc, 0, c.other_len, 0, c.sc, hp))
+
+    # NOTE loop bound: the reference iterates a < d_index, dropping the final
+    # list entry (src/GROM.c:16349)
+    for a in range(max(d_index, 0)):
+        c = del_list[a]
+        if not (c.start_binom <= cfg.pval_threshold
+                and c.end_binom <= cfg.pval_threshold
+                and (c.f / c.start_rd if c.start_rd else math.inf) > cfg.min_indel_ratio * af
+                and (c.r / c.end_rd if c.end_rd else math.inf) > cfg.min_indel_ratio * af):
+            continue
+        if _overlaps_sv_del(c, del2, cfg, drv):
+            continue
+        hp = _homopolymer_del(chrom, c.start, c.end)
+        if hp > cfg.max_homopolymer:
+            continue
+        n = c.end - c.start + 1
+        if 0 < n < gt_cap - 1:
+            refseq = chrom[c.start:c.end + 1].tobytes().decode()
+            head = "%s\t%d\t.\t%s\t.\t.\t.\tEND=%d" % (chr_name, c.start + 1, refseq, c.end + 1)
+        else:
+            head = "%s\t%d\t.\t.\t<DEL>\t.\t.\tEND=%d" % (chr_name, c.start + 1, c.end + 1)
+        rows.append(
+            head + "\tSPR:EPR:SEV:EEV:SRD:ERD:SCO:ECO:SOT:EOT:SSC:ESC:HP\t"
+            "%e:%e:%.1f:%.1f:%d:%d:%d:%d:%d:%d:%d:%d:%d"
+            % (c.start_binom, c.end_binom, c.f / af, c.r / af,
+               c.start_conc, c.end_conc, c.start_other_len, c.end_other_len,
+               c.start_rd, c.end_rd, c.start_sc, c.end_sc, hp))
+    return rows
+
+
+def _overlap_ratios(a_start, a_end, b_start, b_end):
+    """The reference's overlap-ratio arithmetic (src/GROM.c:16360-16390),
+    including its asymmetric b-inside-a branch."""
+    r1 = r2 = 0.0
+    if a_start >= b_start and a_start <= b_end:
+        if a_end >= b_end:
+            r1 = (b_end - a_start) / (b_end - b_start) if b_end != b_start else 0.0
+            r2 = (b_end - a_start) / (a_end - a_start) if a_end != a_start else 0.0
+        else:
+            r1 = (a_end - a_start) / (b_end - b_start) if b_end != b_start else 0.0
+            r2 = (a_end - a_start) / (a_end - a_start) if a_end != a_start else 0.0
+    elif b_start >= a_start and b_start <= a_end:
+        if a_end >= b_end:
+            r1 = (b_end - b_start) / (b_end - b_start) if b_end != b_start else 0.0
+            r2 = (b_end - b_start) / (a_end - a_start) if a_end != a_start else 0.0
+        else:
+            r1 = (a_end - b_start) / (b_end - b_start) if b_end != b_start else 0.0
+            r2 = (a_end - b_start) / (a_end - a_start) if a_end != a_start else 0.0
+    return r1, r2
+
+
+def _overlaps_sv_del(c: DelCandidate, del2: List, cfg: GromConfig,
+                     drv: DerivedConfig) -> bool:
+    """Indel loses to an overlapping clustered SV DEL with a better p-value
+    product (src/GROM.c:16352-16394). The SV entry is `b`; the indel is `a`
+    in the reference's ratio code with ratio_1 over the INDEL length."""
+    lim = drv.insert_max - 2 * drv.read_len
+    for d in del2:
+        if abs(d.start - c.start) < lim and abs(d.end - c.end) < lim:
+            r1, r2 = _overlap_ratios_del2(d.start, d.end, c.start, c.end)
+            if (r1 >= cfg.min_overlap_ratio and r2 >= cfg.min_overlap_ratio
+                    and d.start_binom * d.end_binom < c.start_binom * c.end_binom):
+                return True
+    return False
+
+
+def _overlap_ratios_del2(d2_start, d2_end, i_start, i_end):
+    """src/GROM.c:16357-16390 exactly: ratio_1 normalizes by the indel span,
+    ratio_2 by the SV-del span (with one branch using a misindexed term that
+    we reproduce via the same arithmetic)."""
+    r1 = r2 = 0.0
+    ilen = i_end - i_start
+    dlen = d2_end - d2_start
+    if i_start <= d2_start <= i_end:
+        if d2_end >= i_end:
+            r1 = (i_end - d2_start) / ilen if ilen else 0.0
+            r2 = (i_end - d2_start) / dlen if dlen else 0.0
+        else:
+            r1 = dlen / ilen if ilen else 0.0
+            # reference uses cdp_del_list2_end[a] - cdp_del_list2_start[b]
+            # which with a==b is just dlen
+            r2 = dlen / dlen if dlen else 0.0
+    elif d2_start <= i_start <= d2_end:
+        if d2_end >= i_end:
+            r1 = ilen / ilen if ilen else 0.0
+            r2 = ilen / dlen if dlen else 0.0
+        else:
+            r1 = (d2_end - i_start) / ilen if ilen else 0.0
+            r2 = (d2_end - i_start) / dlen if dlen else 0.0
+    return r1, r2

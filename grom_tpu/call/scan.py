@@ -128,8 +128,9 @@ def accumulate_chromosome(chrom: np.ndarray, batch: ReadBatch,
     eligible = batch.keep & (batch.pos >= scan_start)
 
     _accumulate_rd_lists(arr, batch, eligible, cfg)
-    _accumulate_one_base_rd(arr, batch, eligible, drv)
     _accumulate_snv(arr, chrom, batch, eligible, cfg)
+    # one_base_rd / indel_sc_rd / sc_rd come from the full deposit engine
+    # (call/deposits.py) — the driver wires them in.
     return arr
 
 
@@ -166,59 +167,6 @@ def _accumulate_rd_lists(arr, batch, eligible, cfg):
     arr.rd_lo += lo_acc.astype(np.int32)
 
 
-def _accumulate_one_base_rd(arr, batch, eligible, drv):
-    """Physical rd over [pos, pos+lseq-start_adj-end_adj-end_adj_indel)
-    (src/GROM.c:7172-7181) and the indel_sc / sc single-position rd deposits
-    (src/GROM.c:7105-7170)."""
-    e = np.flatnonzero(eligible)
-    pos = batch.pos[e]
-    span = batch.lseq[e] - batch.start_adj[e] - batch.end_adj[e] - batch.end_adj_indel[e]
-    ok = span > 0
-    d = np.zeros(arr.chr_len + 1, np.int64)
-    s = np.clip(pos[ok], 0, arr.chr_len)
-    t = np.clip(pos[ok] + span[ok], 0, arr.chr_len)
-    np.add.at(d, s, 1)
-    np.subtract.at(d, t, 1)
-    arr.one_base_rd += np.cumsum(d[:-1]).astype(np.int32)
-
-    flag = batch.flag[e]
-    paired = (flag & 0x1) != 0
-    munmap = (flag & 0x8) != 0
-    rev = (flag & 0x10) != 0
-    same_chr = batch.mchr[e] == _refid_of(batch)
-    mpos = batch.mpos[e]
-    tlen = batch.tlen[e]
-
-    left_clip = batch.start_adj[e] >= 1
-    right_clip = batch.end_adj[e] >= 1
-    lpos = pos - 1
-    rpos = pos - batch.start_adj[e] + batch.lseq[e] - batch.end_adj[e] - batch.end_adj_indel[e]
-
-    # sc_left: unpaired OR (fwd && (mate unmapped || same chr mpos>pos))
-    sc_l = left_clip & (~paired | (~rev & (munmap | (~munmap & same_chr & (mpos > pos)))))
-    # sc_right: unpaired OR (rev && (mate unmapped || same chr mpos<pos))
-    sc_r = right_clip & (~paired | (rev & (munmap | (~munmap & same_chr & (mpos < pos)))))
-    _point_add(arr.sc_rd, lpos[sc_l], arr.chr_len)
-    _point_add(arr.sc_rd, rpos[sc_r], arr.chr_len)
-
-    # indel_sc_left: paired, mate mapped same chr, rev, |tlen|<=insert_max, mpos<pos
-    isc_l = left_clip & paired & ~munmap & same_chr & rev & \
-        (np.abs(tlen) <= drv.insert_max) & (mpos < pos)
-    isc_r = right_clip & paired & ~munmap & same_chr & ~rev & \
-        (np.abs(tlen) <= drv.insert_max) & (mpos > pos)
-    _point_add(arr.indel_sc_rd, lpos[isc_l], arr.chr_len)
-    _point_add(arr.indel_sc_rd, rpos[isc_r], arr.chr_len)
-
-
-def _refid_of(batch) -> int:
-    # all reads in a batch share the chromosome being scanned; svtype
-    # classification already compared mrefid to it. Recover it from any read.
-    return int(batch.reads.refid[0]) if len(batch.reads.refid) else 0
-
-
-def _point_add(dst, idx, L):
-    ok = (idx >= 0) & (idx < L)
-    np.add.at(dst, idx[ok], 1)
 
 
 def _accumulate_snv(arr, chrom, batch, eligible, cfg):

@@ -104,12 +104,27 @@ def call_chromosome_snv(chrom: np.ndarray, reads: bam_mod.RawReads,
                         sel: np.ndarray, refid: int, out_name: str,
                         cfg: GromConfig, drv: DerivedConfig,
                         mq_table: np.ndarray, hez_table: np.ndarray) -> List[str]:
+    from grom_tpu.call import indel as indel_mod
+    from grom_tpu.call.deposits import run_deposits
+
     sub = _subset_reads(reads, sel)
     batch = build_batch(sub, refid, cfg.min_mapq, cfg.add_factor, cfg.rmdup)
     scan_start, scan_end, skipped = scan_mod.scan_bounds(cfg, drv, sub.pos)
     arr = scan_mod.accumulate_chromosome(chrom, batch, cfg, drv, scan_start)
+    dense, ev = run_deposits(len(chrom), batch, out_name, cfg, drv, scan_start)
+    arr.one_base_rd = dense.rd
+    arr.indel_sc_rd = dense.indel_sc_rd
+    arr.sc_rd = dense.sc_rd
+
     cands = snv_mod.detect_snv_candidates(chrom, arr, cfg, mq_table, hez_table,
                                           scan_start, scan_end)
     keep = snv_mod.flush_filter(cands, chrom, arr, cfg, drv, scan_start,
                                 scan_end, skipped)
-    return snv_mod.format_snv_rows(cands, keep, chrom, out_name, cfg)
+    rows = snv_mod.format_snv_rows(cands, keep, chrom, out_name, cfg)
+
+    ins_list, del_list, d_index = indel_mod.detect_indels(
+        chrom, arr, dense, ev, cfg, drv, mq_table, hez_table,
+        scan_start, scan_end)
+    rows.extend(indel_mod.format_indel_rows(chrom, out_name, ins_list,
+                                            del_list, d_index, [], cfg, drv))
+    return rows
