@@ -276,7 +276,7 @@ def format_indel_rows(chrom: np.ndarray, chr_name: str,
                 and (c.f / c.start_rd if c.start_rd else math.inf) > cfg.min_indel_ratio * af
                 and (c.r / c.end_rd if c.end_rd else math.inf) > cfg.min_indel_ratio * af):
             continue
-        if _overlaps_sv_del(c, del2, cfg, drv):
+        if _overlaps_sv_del(c, a, del2, cfg, drv):
             continue
         hp = _homopolymer_del(chrom, c.start, c.end)
         if hp > cfg.max_homopolymer:
@@ -317,18 +317,40 @@ def _overlap_ratios(a_start, a_end, b_start, b_end):
     return r1, r2
 
 
-def _overlaps_sv_del(c: DelCandidate, del2: List, cfg: GromConfig,
-                     drv: DerivedConfig) -> bool:
-    """Indel loses to an overlapping clustered SV DEL with a better p-value
-    product (src/GROM.c:16352-16394). The SV entry is `b`; the indel is `a`
-    in the reference's ratio code with ratio_1 over the INDEL length."""
+def _overlaps_sv_del(c: DelCandidate, indel_idx: int, del2: List,
+                     cfg: GromConfig, drv: DerivedConfig) -> bool:
+    """Indel loses to an overlapping clustered SV DEL with a strictly better
+    p-value product (src/GROM.c:16352-16394). ``del2`` entries expose
+    SvCandidate-style .start/.end BkptSides. One ratio branch reads
+    del_list2_end at the INDEL's loop index (src/GROM.c:16370) — a
+    cross-indexed term we reproduce (value -1 when out of range, matching the
+    reference's -1-initialized list)."""
     lim = drv.insert_max - 2 * drv.read_len
+    stray_end = del2[indel_idx].end.pos if indel_idx < len(del2) else -1
     for d in del2:
-        if abs(d.start - c.start) < lim and abs(d.end - c.end) < lim:
-            r1, r2 = _overlap_ratios_del2(d.start, d.end, c.start, c.end)
-            if (r1 >= cfg.min_overlap_ratio and r2 >= cfg.min_overlap_ratio
-                    and d.start_binom * d.end_binom < c.start_binom * c.end_binom):
-                return True
+        ds, de = d.start.pos, d.end.pos
+        if not (abs(ds - c.start) < lim and abs(de - c.end) < lim):
+            continue
+        ilen = c.end - c.start
+        dlen = de - ds
+        r1 = r2 = 0.0
+        if c.start <= ds <= c.end:
+            if de >= c.end:
+                r1 = (c.end - ds) / ilen if ilen else 0.0
+                r2 = (c.end - ds) / dlen if dlen else 0.0
+            else:
+                r1 = dlen / ilen if ilen else 0.0
+                r2 = (stray_end - ds) / dlen if dlen else 0.0
+        elif ds <= c.start <= de:
+            if de >= c.end:
+                r1 = 1.0 if ilen else 0.0
+                r2 = ilen / dlen if dlen else 0.0
+            else:
+                r1 = (de - c.start) / ilen if ilen else 0.0
+                r2 = (de - c.start) / dlen if dlen else 0.0
+        if (r1 >= cfg.min_overlap_ratio and r2 >= cfg.min_overlap_ratio
+                and d.start.binom * d.end.binom < c.start_binom * c.end_binom):
+            return True
     return False
 
 

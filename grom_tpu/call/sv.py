@@ -1,0 +1,640 @@
+"""Paired-end/split-read SV detection, clustering and emission:
+DEL / DUP / INV / INS plus the per-chromosome CTX (translocation) candidate
+records consumed by the cross-chromosome merge.
+
+Re-expresses the reference's per-position detectors (src/GROM.c:11750-13553),
+the list→list2 clustering (src/GROM.c:15140-16250) and the emitters
+(DUP :15340, INV :15940/15996, INS :16084, CTX :16168/16244, DEL :16557).
+
+Detection is sparse: a vectorized screen finds positions whose primary
+evidence clears ``min_disc``; the exact sequential pairing/bisect logic then
+runs over those positions in order. The reference's interpolation-seeded
+bisection (src/GROM.c:12629-12770) only prunes — its inner distance/position
+filters are authoritative — so we reproduce the scanned index range
+[last_le(lo_target), first_ge(hi_target)) with searchsorted.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from grom_tpu.call.deposits import (DenseArrays, E_CTX_F, E_CTX_R, E_DEL_F,
+                                    E_DEL_R, E_DUP_F, E_DUP_R, E_INV_F1,
+                                    E_INV_F2, E_INV_R1, E_INV_R2,
+                                    EvidenceState, Primary)
+from grom_tpu.call.scan import ChromArrays
+from grom_tpu.config import DerivedConfig, GromConfig
+
+
+@dataclass
+class BkptSide:
+    """One breakpoint's snapshot (start or end side of a candidate)."""
+    pos: int = -1
+    binom: float = 0.0
+    hez: float = 2.0
+    ev: int = 0          # scaled evidence count (del_f etc.)
+    rd: int = 0
+    conc: int = 0
+    other_len: int = 0
+    read_start: int = 0
+    read_end: int = 0
+
+
+@dataclass
+class SvCandidate:
+    start: BkptSide = field(default_factory=BkptSide)
+    end: BkptSide = field(default_factory=BkptSide)
+    dist: float = 0.0
+
+
+@dataclass
+class CtxCandidate:
+    pos: int
+    binom: float
+    hez: float
+    ev: int
+    rd: int
+    conc: int
+    other_len: int
+    mchr: int
+    mpos: int            # int truncation of the running mean (±strand sign)
+    read_start: int
+    read_end: int
+
+
+def _binom_pair(rd: int, strong: int, weak: int, mq_table, hez_table,
+                af: int, max_trials: int) -> Tuple[float, float]:
+    """The per-detector probability pattern (e.g. src/GROM.c:11966-12010):
+    binom from strong evidence vs rd; hez (default 2.0) from strong+weak when
+    weak/strong <= max_evidence_ratio."""
+    hez = 2.0
+    if rd > max_trials:
+        k = strong * max_trials // (af * rd)
+        binom = mq_table[max_trials][min(k, max_trials)]
+        if strong and np.float32(weak) / np.float32(strong) <= np.float32(0.25):
+            k2 = (strong + weak) // af
+            if k2 < rd:
+                k2i = (strong + weak) * max_trials // (af * rd)
+                hez = hez_table[max_trials][min(k2i, max_trials)]
+            else:
+                hez = hez_table[max_trials][max_trials]
+    else:
+        binom = mq_table[rd][min(strong // af, max_trials)]
+        if strong and np.float32(weak) / np.float32(strong) <= np.float32(0.25):
+            k2 = (strong + weak) // af
+            if k2 < rd:
+                hez = hez_table[rd][k2]
+            else:
+                hez = hez_table[rd][rd]
+    return float(binom), float(hez)
+
+
+def _scan_range(starts: List[int], lo_target: int, hi_target: int) -> Tuple[int, int]:
+    """Candidate index range the reference's double bisect scans
+    (src/GROM.c:12615-12780): [last_le(lo_target), first_ge(hi_target)),
+    swapped if inverted, clamped to [0, n]."""
+    arr = starts  # ascending
+    import bisect as _b
+    a = _b.bisect_left(arr, hi_target)          # first_ge(hi)
+    b = max(_b.bisect_right(arr, lo_target) - 1, 0)  # last_le(lo)
+    lo, hi = (b, a) if b <= a else (a, b)
+    return lo, hi
+
+
+class SvDetector:
+    """Runs the sequential per-position SV detection."""
+
+    def __init__(self, chrom_len: int, arr: ChromArrays, dense: DenseArrays,
+                 st: EvidenceState, cfg: GromConfig, drv: DerivedConfig,
+                 mq_table, hez_table):
+        self.L = chrom_len
+        self.arr = arr
+        self.dense = dense
+        self.st = st
+        self.cfg = cfg
+        self.drv = drv
+        self.mq = mq_table
+        self.hez = hez_table
+        self.af = cfg.add_factor
+
+        self.ins_list: List[SvCandidate] = []
+        self.dup_list: List[SvCandidate] = []
+        self.dup_starts: List[int] = []
+        self.del_list: List[SvCandidate] = []
+        self.del_starts: List[int] = []
+        self.inv_f_list: List[SvCandidate] = []
+        self.inv_f_starts: List[int] = []
+        self.inv_r_list: List[SvCandidate] = []
+        self.inv_r_starts: List[int] = []
+        self.ctx_f_list: List[CtxCandidate] = []
+        self.ctx_r_list: List[CtxCandidate] = []
+
+    # -- helpers ------------------------------------------------------------
+
+    def _side(self, pos: int, binom: float, hez: float, ev: int,
+              p: Optional[Primary]) -> BkptSide:
+        d = self.dense
+        return BkptSide(pos=pos, binom=binom, hez=hez, ev=ev,
+                        rd=int(d.rd[pos]), conc=int(d.conc[pos]),
+                        other_len=self.st.other_len(pos),
+                        read_start=p.rs if p else 0,
+                        read_end=p.re if p else 0)
+
+    # -- main ---------------------------------------------------------------
+
+    def run(self, scan_start: int, scan_end: int) -> None:
+        cfg, drv, st = self.cfg, self.drv, self.st
+        af = self.af
+        d = self.dense
+        md = cfg.min_disc
+
+        interesting = set()
+        prim: Dict[Tuple[int, int], Primary] = {}
+        for (etype, pos), p in st.primary.items():
+            if etype in (E_DEL_F, E_DEL_R, E_DUP_F, E_DUP_R, E_INV_F1,
+                         E_INV_F2, E_INV_R1, E_INV_R2, E_CTX_F, E_CTX_R):
+                prim[(etype, pos)] = p
+                if p.count // af >= md:
+                    interesting.add(pos)
+        # INS screen: (sc_left|sc_right + ins)/af >= md
+        sc_mask = np.flatnonzero(
+            ((d.sc_left + d.ins) // af >= md) | ((d.sc_right + d.ins) // af >= md))
+        interesting.update(int(x) for x in sc_mask)
+
+        lo_gate = 2 * cfg.overlap_mult * drv.insert_max
+        for pos in sorted(interesting):
+            if pos <= lo_gate or pos < scan_start or pos > scan_end or pos >= self.L:
+                continue
+            self._detect_at(pos, prim)
+
+    def _detect_at(self, pos: int, prim) -> None:
+        cfg, drv, st, af, d = self.cfg, self.drv, self.st, self.af, self.dense
+        mq_t, hez_t = self.mq, self.hez
+        mt = cfg.max_trials
+        md = cfg.min_disc
+        thr1 = cfg.pval_threshold1
+        mean = drv.insert_mean
+        lseq = drv.read_len
+        rd = int(d.rd[pos])
+
+        # ---- INS (soft-clip based), src/GROM.c:11750-11960 ----
+        if rd + d.sc_rd[pos] > 0:
+            sc_l_rd = rd + int(d.sc_left_rd[pos])
+            if (d.sc_left[pos] + d.ins[pos]) // af >= md and sc_l_rd <= mt:
+                k = (int(d.munmapped_r[pos]) + int(d.sc_left[pos]) + int(d.ins[pos])) // af
+                binom = float(mq_t[sc_l_rd][k] if k < sc_l_rd else mq_t[sc_l_rd][sc_l_rd])
+                if binom <= cfg.pval_insertion1:
+                    self._ins_update(pos, binom, side="start")
+            sc_r_rd = rd + int(d.sc_right_rd[pos])
+            if (d.sc_right[pos] + d.ins[pos]) // af >= md and sc_r_rd <= mt:
+                k = (int(d.munmapped_f[pos]) + int(d.sc_right[pos]) + int(d.ins[pos])) // af
+                binom = float(mq_t[sc_r_rd][k] if k < sc_r_rd else mq_t[sc_r_rd][sc_r_rd])
+                if binom <= cfg.pval_insertion1:
+                    self._ins_update(pos, binom, side="end")
+
+        if rd <= 0:
+            return
+
+        def get(etype):
+            return prim.get((etype, pos))
+
+        # ---- CTX_F / CTX_R, src/GROM.c:11966-12128 ----
+        p = get(E_CTX_F)
+        if p and p.count // af >= md and pos - p.re < mean:
+            binom, hez = _binom_pair(rd, p.count,
+                                     int(d.sc_right[pos]) + int(d.munmapped_f[pos]),
+                                     mq_t, hez_t, af, mt)
+            if binom <= thr1 and len(self.ctx_f_list) < cfg.sv_list_len - 1:
+                self.ctx_f_list.append(CtxCandidate(
+                    pos, binom, hez, p.count, rd, int(d.conc[pos]),
+                    st.other_len(pos), p.mchr, int(p.dist), p.rs, p.re))
+        p = get(E_CTX_R)
+        if p and p.count // af >= md and p.rs + lseq - pos < mean:
+            binom, hez = _binom_pair(rd, p.count,
+                                     int(d.sc_left[pos]) + int(d.munmapped_r[pos]),
+                                     mq_t, hez_t, af, mt)
+            if binom <= thr1 and len(self.ctx_r_list) < cfg.sv_list_len - 1:
+                self.ctx_r_list.append(CtxCandidate(
+                    pos, binom, hez, p.count, rd, int(d.conc[pos]),
+                    st.other_len(pos), p.mchr, int(p.dist), p.rs, p.re))
+
+        # ---- DUP start (dup_r), src/GROM.c:12128-12205 ----
+        p = get(E_DUP_R)
+        if p and p.count // af >= md and p.rs + lseq - pos < mean:
+            binom, hez = _binom_pair(rd, p.count,
+                                     int(d.sc_left[pos]) + int(d.munmapped_r[pos]),
+                                     mq_t, hez_t, af, mt)
+            if binom <= thr1 and len(self.dup_list) < cfg.sv_list_len - 1:
+                c = SvCandidate()
+                c.start = self._side(pos, binom, hez, p.count, p)
+                c.dist = float(p.dist)
+                self.dup_list.append(c)
+                self.dup_starts.append(pos)
+
+        # ---- DUP end (dup_f) matched into start list, src/GROM.c:12207-12470 ----
+        p = get(E_DUP_F)
+        if p and p.count // af >= md and pos - p.re < mean:
+            binom, hez = _binom_pair(rd, p.count,
+                                     int(d.sc_right[pos]) + int(d.munmapped_f[pos]),
+                                     mq_t, hez_t, af, mt)
+            if binom <= thr1:
+                tolw = cfg.range_mult_tol(drv)
+                dmin = int(p.dist + 2 * lseq - tolw + 0.5)
+                dmax = int(p.dist + 2 * lseq + tolw + 0.5)
+                lo_t = pos - mean + 2 * lseq - dmax
+                hi_t = pos - mean + 2 * lseq - dmin
+                a, b = _scan_range(self.dup_starts, lo_t, hi_t)
+                for i in range(a, b):
+                    c = self.dup_list[i]
+                    if (dmin <= c.dist <= dmax and lo_t <= c.start.pos <= hi_t):
+                        e = c.end
+                        if ((e.binom > binom and p.count >= e.ev) or e.pos == -1
+                                or (e.binom == binom and p.count > e.ev)):
+                            c.end = self._side(pos, binom, hez, p.count, p)
+
+        # ---- DEL start (del_f), src/GROM.c:12474-12553 ----
+        p = get(E_DEL_F)
+        if p and p.count // af >= md and pos - p.re < mean:
+            binom, hez = _binom_pair(rd, p.count,
+                                     int(d.sc_right[pos]) + int(d.munmapped_f[pos]),
+                                     mq_t, hez_t, af, mt)
+            if binom <= thr1 and len(self.del_list) < cfg.sv_list_len - 1:
+                c = SvCandidate()
+                c.start = self._side(pos, binom, hez, p.count, p)
+                c.dist = float(p.dist)
+                self.del_list.append(c)
+                self.del_starts.append(pos)
+
+        # ---- DEL end (del_r), src/GROM.c:12555-12845 ----
+        p = get(E_DEL_R)
+        if p and p.count // af >= md and p.rs + lseq - pos < mean:
+            binom, hez = _binom_pair(rd, p.count,
+                                     int(d.sc_left[pos]) + int(d.munmapped_r[pos]),
+                                     mq_t, hez_t, af, mt)
+            if binom <= thr1:
+                tolw = cfg.range_mult_tol(drv)
+                dmin = int(p.dist - tolw + 0.5)
+                dmax = int(p.dist + tolw + 0.5)
+                lo_t = pos + mean - dmax
+                hi_t = pos + mean - dmin
+                a, b = _scan_range(self.del_starts, lo_t, hi_t)
+                for i in range(a, b):
+                    c = self.del_list[i]
+                    if (dmin <= c.dist <= dmax and lo_t <= c.start.pos <= hi_t):
+                        e = c.end
+                        # NOTE: unlike DUP/INV, DEL's equal-binom clause uses
+                        # >= (src/GROM.c:12785) — the LAST tied position wins
+                        if ((e.binom > binom and p.count >= e.ev) or e.pos == -1
+                                or (e.binom == binom and p.count >= e.ev)):
+                            c.end = self._side(pos, binom, hez, p.count, p)
+
+        # ---- INV_F start/end, src/GROM.c:12848-13196 ----
+        p = get(E_INV_F1)
+        if p and p.count // af >= md and pos - p.re < mean:
+            binom, hez = _binom_pair(rd, p.count,
+                                     int(d.sc_right[pos]) + int(d.munmapped_f[pos]),
+                                     mq_t, hez_t, af, mt)
+            if binom <= thr1 and len(self.inv_f_list) < cfg.sv_list_len - 1:
+                c = SvCandidate()
+                c.start = self._side(pos, binom, hez, p.count, p)
+                c.dist = float(p.dist)
+                self.inv_f_list.append(c)
+                self.inv_f_starts.append(pos)
+        p = get(E_INV_F2)
+        if p and p.count // af >= md and pos - p.re < mean:
+            binom, hez = _binom_pair(rd, p.count,
+                                     int(d.sc_right[pos]) + int(d.munmapped_f[pos]),
+                                     mq_t, hez_t, af, mt)
+            if binom <= thr1:
+                tolw = cfg.range_mult_tol(drv)
+                dmin = int(p.dist + lseq - tolw + 0.5)
+                dmax = int(p.dist + lseq + tolw + 0.5)
+                lo_t = pos + lseq - dmax
+                hi_t = pos + lseq - dmin
+                a, b = _scan_range(self.inv_f_starts, lo_t, hi_t)
+                for i in range(a, b):
+                    c = self.inv_f_list[i]
+                    if (dmin <= c.dist <= dmax and lo_t <= c.start.pos <= hi_t):
+                        e = c.end
+                        if ((e.binom > binom and p.count >= e.ev) or e.pos == -1
+                                or (e.binom == binom and p.count > e.ev)):
+                            c.end = self._side(pos, binom, hez, p.count, p)
+
+        # ---- INV_R start/end, src/GROM.c:13197-13553 ----
+        p = get(E_INV_R1)
+        if p and p.count // af >= md and p.rs + lseq - pos < mean:
+            binom, hez = _binom_pair(rd, p.count,
+                                     int(d.sc_left[pos]) + int(d.munmapped_r[pos]),
+                                     mq_t, hez_t, af, mt)
+            if binom <= thr1 and len(self.inv_r_list) < cfg.sv_list_len - 1:
+                c = SvCandidate()
+                c.start = self._side(pos, binom, hez, p.count, p)
+                c.dist = float(p.dist)
+                self.inv_r_list.append(c)
+                self.inv_r_starts.append(pos)
+        p = get(E_INV_R2)
+        if p and p.count // af >= md and p.rs + lseq - pos < mean:
+            binom, hez = _binom_pair(rd, p.count,
+                                     int(d.sc_left[pos]) + int(d.munmapped_r[pos]),
+                                     mq_t, hez_t, af, mt)
+            if binom <= thr1:
+                tolw = cfg.range_mult_tol(drv)
+                dmin = int(p.dist + lseq - tolw + 0.5)
+                dmax = int(p.dist + lseq + tolw + 0.5)
+                lo_t = pos + lseq - dmax
+                hi_t = pos + lseq - dmin
+                a, b = _scan_range(self.inv_r_starts, lo_t, hi_t)
+                for i in range(a, b):
+                    c = self.inv_r_list[i]
+                    if (dmin <= c.dist <= dmax and lo_t <= c.start.pos <= hi_t):
+                        e = c.end
+                        if ((e.binom > binom and p.count >= e.ev) or e.pos == -1
+                                or (e.binom == binom and p.count > e.ev)):
+                            c.end = self._side(pos, binom, hez, p.count, p)
+
+    # -- INS state machine (shared index), src/GROM.c:11765-11960 ----------
+
+    def _ins_update(self, pos: int, binom: float, side: str) -> None:
+        cfg, d, st = self.cfg, self.dense, self.st
+        fields = BkptSide(pos=pos, binom=binom, ev=int(d.ins[pos]),
+                          rd=int(d.rd[pos]), conc=int(d.conc[pos]),
+                          other_len=st.other_len(pos))
+        lst = self.ins_list
+        if not lst:
+            c = SvCandidate()
+            setattr(c, side, fields)
+            lst.append(c)
+            return
+        cur = lst[-1]
+        far = ((cur.start.pos != -1 and pos - cur.start.pos > cfg.sc_range) or
+               (cur.end.pos != -1 and pos - cur.end.pos > cfg.sc_range))
+        if far:
+            if len(lst) < cfg.sv_list_len - 1:
+                c = SvCandidate()
+                setattr(c, side, fields)
+                lst.append(c)
+        else:
+            cs = getattr(cur, side)
+            if cs.pos == -1 or binom < cs.binom:
+                setattr(cur, side, fields)
+
+
+# ---------------------------------------------------------------------------
+# Clustering (list → list2), src/GROM.c:15140-16250
+# ---------------------------------------------------------------------------
+
+def cluster_paired(cands: List[SvCandidate], cfg: GromConfig,
+                   drv: DerivedConfig) -> List[SvCandidate]:
+    """DEL/DUP/INV template: sequential clusters keyed on start proximity;
+    representative replaced by strictly-better candidates, midpoint-merged on
+    exact ties (src/GROM.c:15345-15530)."""
+    out: List[SvCandidate] = []
+    gap = drv.insert_max - 2 * drv.read_len
+    begin = False
+    first_start = last_start = first_end = last_end = 0
+    first_dist = last_dist = 0.0
+    for c in cands:
+        if begin:
+            if c.start.pos > last_start + gap:
+                begin = False
+            else:
+                rep = out[-1]
+                cmax = max(c.start.binom, c.end.binom)
+                rmax = max(rep.start.binom, rep.end.binom)
+                if (cmax <= rmax and c.start.pos >= 0 and c.end.pos >= 0
+                        and rep.start.ev <= c.start.ev and rep.end.ev <= c.end.ev):
+                    if (c.start.binom == rep.start.binom
+                            and c.end.binom == rep.end.binom):
+                        if ((rep.start.ev < c.start.ev and rep.end.ev <= c.end.ev)
+                                or (rep.start.ev <= c.start.ev and rep.end.ev < c.end.ev)):
+                            first_start = last_start = c.start.pos
+                            first_end = last_end = c.end.pos
+                            first_dist = last_dist = c.dist
+                            out[-1] = _copy_cand(c)
+                        elif rep.start.ev == c.start.ev and rep.end.ev == c.end.ev:
+                            last_start = c.start.pos
+                            last_end = c.end.pos
+                            last_dist = c.dist
+                            nc = _copy_cand(c)
+                            nc.start.pos = (first_start + last_start) // 2
+                            nc.end.pos = (first_end + last_end) // 2
+                            nc.dist = (first_dist + last_dist) / 2.0
+                            # midpoint merge keeps the candidate's ev values
+                            out[-1] = nc
+                    else:
+                        first_start = last_start = c.start.pos
+                        first_end = last_end = c.end.pos
+                        first_dist = last_dist = c.dist
+                        out[-1] = _copy_cand(c)
+        if not begin:
+            if c.start.pos >= 0 and c.end.pos >= 0:
+                if len(out) < cfg.sv_list_len - 1:
+                    begin = True
+                    first_start = last_start = c.start.pos
+                    first_end = last_end = c.end.pos
+                    first_dist = last_dist = c.dist
+                    out.append(_copy_cand(c))
+    return out
+
+
+def _copy_cand(c: SvCandidate) -> SvCandidate:
+    import copy
+    return copy.deepcopy(c)
+
+
+def cluster_ins(cands: List[SvCandidate], cfg: GromConfig,
+                drv: DerivedConfig) -> List[SvCandidate]:
+    """INS clustering (src/GROM.c:16013-16082)."""
+    out: List[SvCandidate] = []
+    gap = drv.insert_max - 2 * drv.read_len
+    begin = False
+    for c in cands:
+        if begin:
+            rep = out[-1]
+            if (c.start.pos > rep.start.pos + gap or c.start.pos > rep.end.pos + gap
+                    or c.end.pos > rep.start.pos + gap or c.end.pos > rep.end.pos + gap):
+                begin = False
+            else:
+                if (c.start.binom <= rep.start.binom and c.start.pos >= 0
+                        and c.end.binom <= rep.end.binom and c.end.pos >= 0):
+                    out[-1] = _copy_cand(c)
+        if not begin:
+            if c.start.pos >= 0 and c.end.pos >= 0:
+                begin = True
+                out.append(_copy_cand(c))
+    return out
+
+
+def cluster_ctx(cands: List[CtxCandidate], cfg: GromConfig,
+                drv: DerivedConfig) -> List[CtxCandidate]:
+    """CTX clustering (src/GROM.c:16104-16166): keep the best per cluster."""
+    out: List[CtxCandidate] = []
+    gap = drv.insert_max - 2 * drv.read_len
+    begin = False
+    for c in cands:
+        if begin:
+            rep = out[-1]
+            if c.pos > rep.pos + gap:
+                begin = False
+            else:
+                if (((c.binom < rep.binom and rep.ev <= c.ev)
+                     or (c.binom == rep.binom and rep.ev < c.ev))
+                        and c.pos >= 0):
+                    out[-1] = c
+        if not begin:
+            if c.pos >= 0:
+                begin = True
+                out.append(c)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Emission
+# ---------------------------------------------------------------------------
+
+def _pass_sv(c: SvCandidate, cfg: GromConfig) -> bool:
+    af = float(cfg.add_factor)
+    t = cfg.pval_threshold
+    return ((c.start.binom <= t or c.start.hez <= t)
+            and (c.end.binom <= t or c.end.hez <= t)
+            and (c.start.ev / c.start.rd if c.start.rd else math.inf) >= cfg.min_sv_ratio * af
+            and (c.end.ev / c.end.rd if c.end.rd else math.inf) >= cfg.min_sv_ratio * af)
+
+
+_SV_FMT = ("%s\t%d\t.\t.\t<%s>\t.\t.\tEND=%d\t"
+           "SPR:EPR:SEV:EEV:SRD:ERD:SCO:ECO:SOT:EOT:SFR:SLR:EFR:ELR\t"
+           "%e:%e:%.1f:%.1f:%d:%d:%d:%d:%d:%d:%d:%d:%d:%d")
+
+
+def _sv_row(chr_name: str, typ: str, c: SvCandidate, cfg: GromConfig) -> str:
+    af = float(cfg.add_factor)
+    return _SV_FMT % (
+        chr_name, c.start.pos + 1, typ, c.end.pos + 1, c.start.binom,
+        c.end.binom, c.start.ev / af, c.end.ev / af, c.start.rd, c.end.rd,
+        c.start.conc, c.end.conc, c.start.other_len, c.end.other_len,
+        c.start.read_start + 1, c.start.read_end + 1,
+        c.end.read_start + 1, c.end.read_end + 1)
+
+
+def format_dup_rows(chr_name, dup2, cfg) -> List[str]:
+    return [_sv_row(chr_name, "DUP", c, cfg) for c in dup2 if _pass_sv(c, cfg)]
+
+
+def format_inv_rows(chr_name, inv_f2, inv_r2, arr: ChromArrays, cfg,
+                    drv) -> List[str]:
+    """INV emission with cross-family dedup and flank depth symmetry filter
+    (src/GROM.c:15896-16010). INV_F ties beat INV_R."""
+    rows = []
+    depth = arr.rd_hi.astype(np.int64) + arr.rd_lo.astype(np.int64)
+    cdep = np.concatenate([[0], np.cumsum(depth)])
+    lseq = drv.read_len
+    L = arr.chr_len
+    lim = drv.insert_max - 2 * lseq
+
+    def flank_ave(rs, re):
+        a = max(min(rs, L), 0)
+        b = max(min(re + lseq, L), 0)
+        n = re + lseq - rs
+        if n == 0:
+            return math.nan
+        return float(cdep[b] - cdep[a]) / n
+
+    def rd_sym(c):
+        r1 = flank_ave(c.start.read_start, c.start.read_end)
+        r2 = flank_ave(c.end.read_start, c.end.read_end)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            a = np.float64(r1) / np.float64(r2)
+            b = np.float64(r2) / np.float64(r1)
+        return bool(a <= cfg.max_inv_rd_diff) and bool(b <= cfg.max_inv_rd_diff)
+
+    for c in inv_f2:
+        if not _pass_sv(c, cfg):
+            continue
+        lose = any(
+            abs(c.start.pos - r.start.pos) < lim and abs(c.end.pos - r.end.pos) < lim
+            and ((r.start.pos <= c.start.pos <= r.end.pos)
+                 or (c.start.pos <= r.start.pos <= c.end.pos))
+            and r.start.binom * r.end.binom < c.start.binom * c.end.binom
+            for r in inv_r2)
+        if not lose and rd_sym(c):
+            rows.append(_sv_row(chr_name, "INV", c, cfg))
+    for c in inv_r2:
+        if not _pass_sv(c, cfg):
+            continue
+        lose = any(
+            abs(c.start.pos - f.start.pos) < lim and abs(c.end.pos - f.end.pos) < lim
+            and ((f.start.pos <= c.start.pos <= f.end.pos)
+                 or (c.start.pos <= f.start.pos <= c.end.pos))
+            and f.start.binom * f.end.binom <= c.start.binom * c.end.binom
+            for f in inv_f2)
+        if not lose and rd_sym(c):
+            rows.append(_sv_row(chr_name, "INV", c, cfg))
+    return rows
+
+
+def format_ins_rows(chr_name, ins2, cfg) -> List[str]:
+    """INS emission (src/GROM.c:16084-16100): END prints the START again."""
+    af = float(cfg.add_factor)
+    rows = []
+    for c in ins2:
+        if (c.start.binom <= cfg.pval_insertion and c.end.binom <= cfg.pval_insertion
+                and abs(c.end.pos - c.start.pos) <= cfg.max_ins_range):
+            rows.append(
+                "%s\t%d\t.\t.\t<INS>\t.\t.\tEND=%d\tSPR:EPR:SEV:EEV:SRD:ERD:SCO:ECO:SOT:EOT\t"
+                "%e:%e:%.1f:%.1f:%d:%d:%d:%d:%d:%d"
+                % (chr_name, c.start.pos + 1, c.start.pos + 1, c.start.binom,
+                   c.end.binom, c.start.ev / af, c.end.ev / af, c.start.rd,
+                   c.end.rd, c.start.conc, c.end.conc, c.start.other_len,
+                   c.end.other_len))
+    return rows
+
+
+def format_del_rows(chr_name, del2, indel_dels, d_index, cfg, drv) -> List[str]:
+    """DEL emission (src/GROM.c:16543-16630) with the indel-overlap dedup
+    (ties favor the indel). ``indel_dels``/``d_index`` are the small-indel
+    candidates (the same off-by-one bound applies)."""
+    from grom_tpu.call.indel import _overlap_ratios_del2
+    af = float(cfg.add_factor)
+    lim = drv.insert_max - 2 * drv.read_len
+    rows = []
+    for c in del2:
+        if not _pass_sv(c, cfg):
+            continue
+        overlap = False
+        for b in range(max(d_index, 0)):
+            i = indel_dels[b]
+            if not (i.start_binom <= cfg.pval_threshold
+                    and i.end_binom <= cfg.pval_threshold
+                    and (i.f / i.start_rd if i.start_rd else math.inf) > cfg.min_indel_ratio * af
+                    and (i.r / i.end_rd if i.end_rd else math.inf) > cfg.min_indel_ratio * af
+                    and abs(c.start.pos - i.start) < lim
+                    and abs(c.end.pos - i.end) < lim):
+                continue
+            r1, r2 = _overlap_ratios_del2(c.start.pos, c.end.pos, i.start, i.end)
+            if (r1 >= cfg.min_overlap_ratio and r2 >= cfg.min_overlap_ratio
+                    and i.start_binom * i.end_binom <= c.start.binom * c.end.binom):
+                overlap = True
+                break
+        if not overlap:
+            rows.append(_sv_row(chr_name, "DEL", c, cfg))
+    return rows
+
+
+def format_ctx_records(chr_name, ctx_f2, ctx_r2, cfg) -> List[str]:
+    """Per-chromosome CTX intermediate records (src/GROM.c:16168-16248),
+    consumed by the cross-chromosome merge in the driver."""
+    af = float(cfg.add_factor)
+    out = []
+    for tag, lst in (("CTX_F", ctx_f2), ("CTX_R", ctx_r2)):
+        for c in lst:
+            if ((c.binom <= cfg.pval_threshold or c.hez <= cfg.pval_threshold)
+                    and (c.ev / c.rd if c.rd else math.inf) >= cfg.min_sv_ratio * af):
+                out.append("%s\t%s\t%d\t%e\t%.1f\t%d\t%d\t%d\t%d\t%d\t%d\t%d\t%e"
+                           % (tag, chr_name, c.pos, c.binom, c.ev / af, c.rd,
+                              c.conc, c.other_len, c.mchr, c.mpos,
+                              c.read_start, c.read_end, c.hez))
+    return out

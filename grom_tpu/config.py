@@ -100,6 +100,8 @@ class GromConfig:
     other_len: int = 50                    # g_other_len (per-base overflow slots)
     insert_sample_size: int = 10_000_000   # insert_sample_size
     insert_max_mult: int = 5               # g_insert_max_mult
+    range_mult: float = 0.75               # g_range_mult (pairing window)
+    sc_range: int = 35                     # g_sc_range (INS candidate spacing)
     num_gc_bins: int = 101                 # g_num_gc_bins
     sample_lists_len: int = 100_000        # g_sample_lists_len
     add_factor: int = 6                    # cdp_add_factor for mq>=min_mapq (src/GROM.c:2548)
@@ -118,6 +120,17 @@ class GromConfig:
     def pval_threshold1(self) -> float:
         # src/GROM.c:22101 — g_pval_threshold1 = g_pval_threshold
         return self.pval_threshold
+
+    @property
+    def pval_insertion1(self) -> float:
+        # src/GROM.c:22103-analog — g_pval_insertion1 stays at its 0.01
+        # default (only -e changes g_pval_insertion, src/GROM.c:944-945)
+        return 0.01
+
+    def range_mult_tol(self, drv) -> float:
+        """0.75*(insert_max - insert_min): the breakpoint pairing half-window
+        (src/GROM.c:12609-12610)."""
+        return self.range_mult * (drv.insert_max - drv.insert_min)
 
     @property
     def mq_prob(self) -> float:

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -47,6 +47,7 @@ def run(cfg: GromConfig, file_date: Optional[str] = None) -> RunResult:
 
     writer = VcfWriter(cfg.out_vcf, cfg.ref_fasta, file_date)
     n_records = 0
+    all_ctx: List[str] = []
 
     # chromosome order: FASTA order; names lowercased in output like the
     # reference's find_genome_length (src/GROM.c:1321-1428)
@@ -59,16 +60,16 @@ def run(cfg: GromConfig, file_date: Optional[str] = None) -> RunResult:
             continue  # chrY skipped for female (src/GROM.c:20979-20988)
         sel = np.flatnonzero(reads.refid == refid)
         chrom = fasta_mod.load_chromosome(cfg.ref_fasta, info, fa_name)
-        rows = call_chromosome_snv(chrom, reads, sel, refid, out_name, cfg,
-                                   drv, mq_table, hez_table)
+        rows, ctx_recs = call_chromosome(chrom, reads, sel, refid, out_name,
+                                         cfg, drv, mq_table, hez_table)
         writer.write_rows(rows)
+        all_ctx.extend(ctx_recs)
         n_records += len(rows)
     writer.close()
 
     ctx_path = _ctx_path(cfg.out_vcf)
-    with open(ctx_path, "w") as f:
-        from grom_tpu.vcfio.writer import vcf_header
-        f.write(vcf_header(cfg.ref_fasta, file_date))
+    from grom_tpu.call.ctx import write_ctx_vcf
+    write_ctx_vcf(ctx_path, all_ctx, header.ref_names, cfg, drv, file_date)
     return RunResult(cfg.out_vcf, ctx_path, n_records, ins)
 
 
@@ -100,11 +101,16 @@ def _subset_reads(reads: bam_mod.RawReads, sel: np.ndarray) -> bam_mod.RawReads:
     )
 
 
-def call_chromosome_snv(chrom: np.ndarray, reads: bam_mod.RawReads,
-                        sel: np.ndarray, refid: int, out_name: str,
-                        cfg: GromConfig, drv: DerivedConfig,
-                        mq_table: np.ndarray, hez_table: np.ndarray) -> List[str]:
+def call_chromosome(chrom: np.ndarray, reads: bam_mod.RawReads,
+                    sel: np.ndarray, refid: int, out_name: str,
+                    cfg: GromConfig, drv: DerivedConfig,
+                    mq_table: np.ndarray, hez_table: np.ndarray
+                    ) -> Tuple[List[str], List[str]]:
+    """Full per-chromosome calling. Returns (vcf_rows, ctx_records) in the
+    reference's emission order: SNV, DUP, INV, INS, INDEL_INS, INDEL_DEL,
+    DEL (CNV rows are appended by the CNV engine)."""
     from grom_tpu.call import indel as indel_mod
+    from grom_tpu.call import sv as sv_mod
     from grom_tpu.call.deposits import run_deposits
 
     sub = _subset_reads(reads, sel)
@@ -122,9 +128,27 @@ def call_chromosome_snv(chrom: np.ndarray, reads: bam_mod.RawReads,
                                 scan_end, skipped)
     rows = snv_mod.format_snv_rows(cands, keep, chrom, out_name, cfg)
 
+    det = sv_mod.SvDetector(len(chrom), arr, dense, ev, cfg, drv,
+                            mq_table, hez_table)
+    det.run(scan_start, scan_end)
+    dup2 = sv_mod.cluster_paired(det.dup_list, cfg, drv)
+    del2 = sv_mod.cluster_paired(det.del_list, cfg, drv)
+    inv_f2 = sv_mod.cluster_paired(det.inv_f_list, cfg, drv)
+    inv_r2 = sv_mod.cluster_paired(det.inv_r_list, cfg, drv)
+    ins2 = sv_mod.cluster_ins(det.ins_list, cfg, drv)
+    ctx_f2 = sv_mod.cluster_ctx(det.ctx_f_list, cfg, drv)
+    ctx_r2 = sv_mod.cluster_ctx(det.ctx_r_list, cfg, drv)
+
     ins_list, del_list, d_index = indel_mod.detect_indels(
         chrom, arr, dense, ev, cfg, drv, mq_table, hez_table,
         scan_start, scan_end)
+
+    rows.extend(sv_mod.format_dup_rows(out_name, dup2, cfg))
+    rows.extend(sv_mod.format_inv_rows(out_name, inv_f2, inv_r2, arr, cfg, drv))
+    rows.extend(sv_mod.format_ins_rows(out_name, ins2, cfg))
+    ctx_records = sv_mod.format_ctx_records(out_name, ctx_f2, ctx_r2, cfg)
     rows.extend(indel_mod.format_indel_rows(chrom, out_name, ins_list,
-                                            del_list, d_index, [], cfg, drv))
-    return rows
+                                            del_list, d_index, del2, cfg, drv))
+    rows.extend(sv_mod.format_del_rows(out_name, del2, del_list, d_index,
+                                       cfg, drv))
+    return rows, ctx_records
