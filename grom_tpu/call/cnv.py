@@ -1,0 +1,983 @@
+"""GC-normalized read-depth CNV engine.
+
+Re-expresses the reference's CNV pipeline:
+  * reference preprocessing — N segments, dinucleotide repeat runs, and the
+    triangular-weighted GC%/ACGT% per base (src/GROM.c:1684-1862), computed
+    here with a double-prefix-sum (O(n)) instead of the sliding counters;
+  * CNV prep — per-base mean mapq, repeat-bias selection, 10kb
+    excessive-coverage block masking → lowvar blocks (src/GROM.c:16633-17130);
+  * detect_del_dup — GC-binned depth distributions (systematic stride
+    sampling + reservoir overflow), ±2-bin merging, per-base midrank z-scores,
+    the null window model, del/dup window growth scans, trimmed-mean copy
+    number (src/GROM.c:18228-20357);
+  * SD→p-value conversion with the reference's buggy ``t = 1/(1+p+x)``
+    polynomial argument (src/GROM.c:17158) and <DEL>/<DUP> emission
+    (src/GROM.c:17280-17493).
+
+Faithfulness notes:
+  * The reference sorts its double-typed copy-number ratio lists with an
+    int comparator (src/GROM.c:20164 + :1105) — i.e. by the LOW 32 BITS of
+    each double. We reproduce that exact (stable) ordering.
+  * Reservoir sampling uses rand() seeded with time() in the reference, so
+    overflow behavior (>100k samples per GC bin) is not reproducible even
+    run-to-run there; we use numpy's PCG64 in that regime.
+  * The custom bisection helpers (src/GROM.c:21630-21860) are ported
+    verbatim — their edge behavior differs from textbook lower/upper bound.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from grom_tpu.config import DerivedConfig, GromConfig
+
+_A_P = 0.3275911
+_A1, _A2, _A3, _A4, _A5 = 0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+
+
+# ---------------------------------------------------------------------------
+# Bisection helpers (verbatim ports of src/GROM.c:21630-21860)
+# ---------------------------------------------------------------------------
+
+def c_bisect_left(lst, rd, start, end):
+    index = start + (end - start) // 2
+    low, high = start, end
+    while True:
+        if index <= start:
+            return start if rd <= lst[start] else start + 1
+        if index >= end - 1:
+            return end - 1 if rd <= lst[end - 1] else end
+        if rd <= lst[index]:
+            high = index
+            index = low + (index - low) // 2
+            if high == index:
+                return index + 1
+        else:
+            low = index
+            index = index + (high - index) // 2
+            if low == index:
+                return index + 1
+
+
+def c_bisect_right(lst, rd, start, end):
+    index = start + (end - start) // 2
+    low, high = start, end
+    while True:
+        if index <= start:
+            return start if rd < lst[start] else start + 1
+        if index >= end - 1:
+            return end - 1 if rd < lst[end - 1] else end
+        if rd < lst[index]:
+            high = index
+            index = low + (index - low) // 2
+            if high == index:
+                return index + 1
+        else:
+            low = index
+            index = index + (high - index) // 2
+            if low == index:
+                return index + 1
+
+
+# ---------------------------------------------------------------------------
+# Reference preprocessing
+# ---------------------------------------------------------------------------
+
+@dataclass
+class RefFeatures:
+    gc_weighted: np.ndarray    # int per base, 0..100 (0 outside scan range)
+    acgt_weighted: np.ndarray
+    repeat_types: np.ndarray   # int per repeat run
+    repeat_starts: np.ndarray
+    repeat_ends: np.ndarray
+
+
+_REPEAT_PAIRS = [b"AA", b"AC", b"AG", b"AT", b"CC", b"CG", b"CT", b"GG", b"GT", b"TT"]
+
+
+def preprocess_reference(chrom: np.ndarray, insert_mean: int,
+                         min_repeat: int) -> RefFeatures:
+    L = len(chrom)
+    m = insert_mean
+    W = 2 * m - 1
+    total = m * m  # triangular weight sum (src/GROM.c:22265-22269)
+
+    up = np.frombuffer(chrom.tobytes().upper(), dtype=np.uint8)
+    is_gc = ((up == ord("C")) | (up == ord("G"))).astype(np.int64)
+    is_acgt = (is_gc | (up == ord("A")) | (up == ord("T"))).astype(np.int64)
+
+    def tri_weighted(x):
+        # T(p) = sum_{d=-(m-1)}^{m-1} (m-|d|)*x[p+d]
+        #      = sum_{k=p-m+1}^{p} window_m(k)   where window_m(k) = sum x[k:k+m]
+        # c1[i] = sum x[0:i];  window_m(k) = c1[k+m] - c1[k]
+        # S[i] = sum_{j=0}^{i-1} c1[j]  (prefix sums of c1)
+        # T(p) = (S[p+m+1] - S[p+1]) - (S[p+1] - S[p-m+1])
+        c1 = np.concatenate([[0], np.cumsum(x)])                  # len L+1
+        S = np.concatenate([[0], np.cumsum(c1)])                  # len L+2
+        out = np.zeros(L, dtype=np.int64)
+        lo = m - 1
+        hi = L - W  # exclusive
+        if hi > lo:
+            p = np.arange(lo, hi)
+            out[lo:hi] = (S[p + m + 1] - S[p + 1]) - (S[p + 1] - S[p - m + 1])
+        return out
+
+    gc_w = np.zeros(L, dtype=np.int64)
+    ac_w = np.zeros(L, dtype=np.int64)
+    lo, hi = m - 1, L - W
+    if hi > lo:
+        gc_w[lo:hi] = 100 * tri_weighted(is_gc)[lo:hi] // total
+        ac_w[lo:hi] = 100 * tri_weighted(is_acgt)[lo:hi] // total
+
+    # dinucleotide repeat runs (types 0..9) over the same scan range
+    r_types: List[int] = []
+    r_starts: List[int] = []
+    r_ends: List[int] = []
+    if hi > lo:
+        pair_code = np.full(L, 10, dtype=np.int8)
+        b0 = up[lo:hi]
+        b1 = up[lo + 1:hi + 1]
+        for t, pair in enumerate(_REPEAT_PAIRS):
+            a, b = pair[0], pair[1]
+            m_ = ((b0 == a) & (b1 == b)) | ((b0 == b) & (b1 == a))
+            pair_code[lo:hi][m_] = t
+        # runs of identical type (<10), recorded when length-1 >= min_repeat-1
+        cur_t = 10
+        r_start = r_end = 0
+        for p in range(lo, hi):
+            t = int(pair_code[p])
+            if t != cur_t or t == 10:
+                if r_end > 0 and r_end - r_start >= min_repeat - 1:
+                    r_starts.append(r_start)
+                    r_ends.append(r_end + 1)
+                    r_types.append(cur_t)
+                if t == 10:
+                    r_start = r_end = 0
+                else:
+                    r_start = r_end = p
+            else:
+                r_end = p
+            cur_t = t
+    return RefFeatures(gc_w, ac_w, np.array(r_types, dtype=np.int64),
+                       np.array(r_starts, dtype=np.int64),
+                       np.array(r_ends, dtype=np.int64))
+
+
+# ---------------------------------------------------------------------------
+# CNV prep: mean mapq, repeat bias, block masking
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CnvPrep:
+    mq_mean: np.ndarray              # caf_rd_mq_list after normalization
+    most_biased_repeat: int
+    lowvar_blocks: List[Tuple[int, int]]        # z-scan + sampling blocks
+    chr_rd_ave: float
+
+
+def prep_cnv(chrom: np.ndarray, feats: RefFeatures, rd_hi: np.ndarray,
+             rd_lo: np.ndarray, rd_mq_sum: np.ndarray, cfg: GromConfig,
+             drv: DerivedConfig) -> CnvPrep:
+    L = len(chrom)
+    m = drv.insert_mean
+    W = 2 * m - 1
+    depth = rd_hi.astype(np.int64) + rd_lo.astype(np.int64)
+    mq_mean = rd_mq_sum.astype(np.int64).copy()
+    nz = depth > 0
+    mq_mean[nz] = mq_mean[nz] // depth[nz]
+
+    # repeat-bias selection (src/GROM.c:16642-16760)
+    lo, hi = m - 1, L - W
+    sel = slice(lo, hi)
+    acgt_ok = feats.acgt_weighted[sel] >= 99  # g_insert_min_acgt
+    d = depth[sel][acgt_ok]
+    cnt = len(d)
+    ave = d.sum() / cnt if cnt else 0.0
+    dd = d.astype(np.float64)
+    sq = np.where(dd < 2 * ave, (dd - ave) ** 2, ave * ave)
+    stdev = math.sqrt(sq.sum() / (cnt - 1)) if cnt > 1 else 0.0
+
+    most_biased = -1
+    if len(feats.repeat_types):
+        n_types = 10
+        r_ave = np.zeros(n_types)
+        r_cnt = np.zeros(n_types, dtype=np.int64)
+        r_vals = []
+        for i in range(len(feats.repeat_types)):
+            s, e = int(feats.repeat_starts[i]), int(feats.repeat_ends[i])
+            v = depth[s:e].sum() / (e - s)
+            r_vals.append(v)
+            t = int(feats.repeat_types[i])
+            r_ave[t] += v if v < 2 * ave else 2 * ave
+            r_cnt[t] += 1
+        with np.errstate(invalid="ignore"):
+            r_ave = np.where(r_cnt > 0, r_ave / np.maximum(r_cnt, 1), np.nan)
+        r_std = np.zeros(n_types)
+        for i in range(len(feats.repeat_types)):
+            t = int(feats.repeat_types[i])
+            v = r_vals[i] if r_vals[i] < 2 * ave else 2 * ave
+            r_std[t] += (v - r_ave[t]) ** 2
+        for t in range(n_types):
+            r_std[t] = math.sqrt(r_std[t] / (r_cnt[t] - 1)) if r_cnt[t] > 1 else 0.0
+        best_cnt = 0
+        for t in range(n_types):
+            if r_cnt[t] > 100:  # g_rd_no_combine_min_windows
+                if (r_ave[t] + cfg.min_repeat_stdev * r_std[t] < ave
+                        and ave - cfg.min_repeat_stdev * stdev > r_ave[t]):
+                    if r_cnt[t] > best_cnt:
+                        most_biased = t
+                        best_cnt = int(r_cnt[t])
+
+    # 10kb excessive-coverage block masking (src/GROM.c:16784-17010)
+    up = np.frombuffer(chrom.tobytes().upper(), dtype=np.uint8)
+    acgt_base = (up == ord("A")) | (up == ord("C")) | (up == ord("G")) | (up == ord("T"))
+    chr_block_total = int(depth[acgt_base].sum())
+    block_count = int(acgt_base.sum())
+    chr_rd_ave = chr_block_total / block_count if block_count else 0.0
+    threshold = cfg.chr_rd_threshold_factor * chr_rd_ave
+
+    n_blocks = L // cfg.block_unit_size
+    block_means = np.zeros(n_blocks)
+    for b in range(n_blocks):
+        s = b * cfg.block_unit_size
+        block_means[b] = depth[s:s + cfg.block_unit_size].sum() / cfg.block_unit_size
+    over = np.flatnonzero(block_means > threshold)
+
+    # cluster over-blocks (the reference's temp_blocks state machine,
+    # src/GROM.c:16847-16900); writes [start, end) block ranges
+    masked: List[Tuple[int, int]] = []
+    temp_blocks = 0
+    t_start = t_end = 0
+    cur_written: Optional[Tuple[int, int]] = None
+    if len(over) > 1:
+        for a in range(1, len(over)):
+            if temp_blocks == 0:
+                if (temp_blocks + 1) > (over[a] - over[a - 1]) // 4:
+                    t_end = over[a] + 1
+                    temp_blocks += 1
+                else:
+                    t_end = over[a - 1] + 1
+                t_start = over[a - 1]
+                temp_blocks += 1
+            else:
+                if (temp_blocks + 1) > (over[a - 1] - t_start) // 4:
+                    t_end = over[a - 1] + 1
+                    temp_blocks += 1
+                else:
+                    if temp_blocks >= cfg.min_blocks:
+                        if cur_written is not None:
+                            masked.append(cur_written)
+                        cur_written = None
+                    temp_blocks = 1
+                    t_start = over[a - 1]
+                    t_end = over[a - 1] + 1
+                if temp_blocks >= cfg.min_blocks:
+                    cur_written = (t_start * cfg.block_unit_size,
+                                   t_end * cfg.block_unit_size)
+    if temp_blocks >= cfg.min_blocks and cur_written is not None:
+        masked.append(cur_written)
+    elif cur_written is not None and temp_blocks >= cfg.min_blocks:
+        masked.append(cur_written)
+
+    # lowvar = complement of masked regions >= g_block_min (10000)
+    lowvar: List[Tuple[int, int]] = []
+    start = 0
+    for (ms, me) in masked:
+        if me - ms >= 10000:  # g_block_min
+            lowvar.append((start, ms))
+            start = me
+    lowvar.append((start, L))
+    # clamp to scan range and drop short blocks (src/GROM.c:16920-16983)
+    clamped = []
+    for s, e in lowvar:
+        s = min(max(s, m - 1), L - W)
+        e = min(max(e, m - 1), L - W)
+        if e - s >= cfg.min_rd_window_len:
+            clamped.append((s, e))
+    return CnvPrep(mq_mean, most_biased, clamped, chr_rd_ave)
+
+
+# ---------------------------------------------------------------------------
+# detect_del_dup
+# ---------------------------------------------------------------------------
+
+def build_pval2sd(stdev_step: float = 0.01, sd_max: float = 10.0):
+    """src/GROM.c:20714-20748: sd descending from 10, pval ascending.
+    Evaluated with libm pow/exp like the reference — numpy's SIMD pow can
+    differ in the last ulp, which moves bisect boundaries."""
+    n = int(sd_max / stdev_step + 0.5)
+    sds = np.empty(n)
+    pvals = np.empty(n)
+    for i in range(n):
+        sd = sd_max - i * stdev_step
+        if sd < 0:
+            sd = 0.0
+        x = sd / math.sqrt(2.0)
+        t = 1.0 / (1.0 + _A_P * x)
+        erf = 1.0 - ((_A1 * t + _A2 * math.pow(t, 2) + _A3 * math.pow(t, 3)
+                      + _A4 * math.pow(t, 4) + _A5 * math.pow(t, 5))
+                     * math.exp(-math.pow(x, 2)))
+        sds[i] = sd
+        pvals[i] = (1.0 - erf) / 2.0
+    return pvals, sds
+
+
+@dataclass
+class CnvCall:
+    start: int
+    end: int
+    stdev: float
+    cn: float = -1.0
+    cn_stdev: float = 0.0
+    pvalue: float = 1.0
+
+
+def _broken_double_sort(vals: np.ndarray) -> np.ndarray:
+    """qsort(double array, int comparator) — src/GROM.c:20164 + :1105.
+
+    The comparator reads the LOW 32 BITS of each double as an int and
+    subtracts with int32 WRAPAROUND, so it is not even transitive; the
+    resulting permutation is whatever glibc's merge sort (msort_with_tmp)
+    produces. We emulate that exact top-down merge with the wrapping
+    comparator."""
+    v = vals.astype(np.float64)
+    raw = v.view(np.uint8).reshape(-1, 8)
+    key = raw[:, :4].copy().view(np.int32).ravel().astype(np.int64)
+
+    def cmp_lt(i, j):
+        # cmp(b2,b1) < 0  with int32 wraparound subtraction
+        d = np.int32(np.int64(key[i]) - np.int64(key[j]))
+        return int(d) < 0
+
+    idx = list(range(len(v)))
+
+    def msort(lo, n):
+        if n <= 1:
+            return
+        n1 = n // 2
+        n2 = n - n1
+        msort(lo, n1)
+        msort(lo + n1, n2)
+        a = idx[lo:lo + n1]
+        b = idx[lo + n1:lo + n]
+        out = []
+        i = j = 0
+        while i < n1 and j < n2:
+            if cmp_lt(b[j], a[i]):
+                out.append(b[j])
+                j += 1
+            else:
+                out.append(a[i])
+                i += 1
+        out.extend(a[i:])
+        out.extend(b[j:])
+        idx[lo:lo + n] = out
+
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, 10000))
+    with np.errstate(over="ignore"):
+        msort(0, len(v))
+    sys.setrecursionlimit(old)
+    return v[np.array(idx, dtype=np.int64)] if len(v) else v
+
+
+def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
+                   rd_hi: np.ndarray, rd_lo: np.ndarray, cfg: GromConfig,
+                   drv: DerivedConfig, ploidy: int,
+                   rng: Optional[np.random.Generator] = None
+                   ) -> Tuple[List[CnvCall], List[CnvCall]]:
+    L = len(chrom)
+    m = drv.insert_mean
+    W = 2 * m - 1
+    depth = (rd_hi.astype(np.int64) + rd_lo.astype(np.int64))
+    mq = prep.mq_mean
+    gc = feats.gc_weighted
+    acgt = feats.acgt_weighted
+    NB = cfg.num_gc_bins
+    cap = cfg.sample_lists_len
+    rng = rng or np.random.default_rng(0)
+
+    del_thr_p = 1.0 - 0.6 / ploidy
+    dup_thr_p = 1.0 + 0.6 / ploidy
+
+    # ---- GC-bin sampling (src/GROM.c:18341-18460) ----
+    hi_samp: List[List[int]] = [[] for _ in range(NB)]
+    lo_samp: List[List[int]] = [[] for _ in range(NB)]
+    hi_all = np.zeros(NB, dtype=np.int64)
+    lo_all = np.zeros(NB, dtype=np.int64)
+    last_low = 0
+    stride = m // 2
+    for (bs, be) in prep.lowvar_blocks:
+        for pos in range(bs, be, stride):
+            if acgt[pos] < 99:
+                continue
+            d = int(depth[pos])
+            g = int(gc[pos])
+            if d == 0:
+                cls = last_low
+            elif mq[pos] >= cfg.min_mapq:
+                cls = 0
+                last_low = 0
+            else:
+                cls = 1
+                last_low = 1
+            samp, alls = (hi_samp, hi_all) if cls == 0 else (lo_samp, lo_all)
+            if len(samp[g]) < cap:
+                samp[g].append(d)
+            else:
+                if rng.integers(alls[g]) == 0:
+                    samp[g][rng.integers(len(samp[g]))] = d
+            alls[g] += 1
+
+    hi_arr = [np.sort(np.array(s, dtype=np.int64)) for s in hi_samp]
+    lo_arr = [np.sort(np.array(s, dtype=np.int64)) for s in lo_samp]
+
+    # ---- ±2-bin merge for sparse bins (src/GROM.c:18480-18545) ----
+    hi_n0 = [len(a) for a in hi_arr]
+    lo_n0 = [len(a) for a in lo_arr]
+    hi_merged = list(hi_arr)
+    lo_merged = list(lo_arr)
+    for b in range(2, NB - 2):
+        if 20 <= hi_n0[b] < 100:
+            ext = [hi_arr[b]] + [hi_arr[a][:hi_n0[a]] for a in range(b - 2, b + 3) if a != b]
+            allv = np.concatenate(ext)[:cap]
+            hi_merged[b] = np.sort(allv)
+        if 20 <= lo_n0[b] < 100:
+            ext = [lo_arr[b]] + [lo_arr[a][:lo_n0[a]] for a in range(b - 2, b + 3) if a != b]
+            allv = np.concatenate(ext)[:cap]
+            lo_merged[b] = np.sort(allv)
+    hi_arr, lo_arr = hi_merged, lo_merged
+    hi_n = [len(a) for a in hi_arr]
+    lo_n = [len(a) for a in lo_arr]
+
+    # ---- bin stats and thresholds (src/GROM.c:18560-18640) ----
+    ave = np.zeros((2, NB))
+    std = np.zeros((2, NB))
+    nwin = np.zeros((2, NB), dtype=np.int64)
+    del_thr = np.zeros((2, NB))
+    dup_thr = np.zeros((2, NB))
+    for idx, (arrs, ns) in enumerate(((hi_arr, hi_n), (lo_arr, lo_n))):
+        for b in range(NB):
+            n = ns[b]
+            nwin[idx, b] = n
+            if n > 0:
+                a = arrs[b].astype(np.float64)
+                ave[idx, b] = a.sum() / n
+                del_thr[idx, b] = del_thr_p * ave[idx, b]
+                dup_thr[idx, b] = dup_thr_p * ave[idx, b]
+                if n > 1:
+                    std[idx, b] = math.sqrt(((a - ave[idx, b]) ** 2).sum() / (n - 1))
+
+    # ---- low_acgt_or_windows mask (src/GROM.c:18683-18750) ----
+    low_acgt = np.ones(L, dtype=np.int64)
+    scan_lo, scan_hi = m - 1, L - W
+    if scan_hi > scan_lo:
+        pos_r = np.arange(scan_lo, scan_hi)
+        ok_acgt = acgt[pos_r] >= 99
+        # sticky class with ffill over the full range
+        def_cls = np.where(mq[pos_r] >= cfg.min_mapq, 0,
+                           np.where(depth[pos_r] > 0, 1, -1))
+        cls_ff = _sticky_ffill(def_cls, 0)
+        nwin_at = nwin[cls_ff, gc[pos_r]]
+        low_acgt[scan_lo:scan_hi] = np.where(ok_acgt & (nwin_at >= 100), 0, 1)
+
+    # ---- per-base z-scores (src/GROM.c:18770-18965) ----
+    # NOTE: the z loop runs over g_lowvar_block_* which main RESET to the
+    # whole chromosome before calling detect_del_dup (src/GROM.c:17123-17125);
+    # only the SAMPLING above uses the masked blocks.
+    full_blocks = [(m - 1, L - W)]
+    pv_p, pv_sd = build_pval2sd()
+    pv_len = len(pv_p)
+    stdev_list = np.zeros(L)
+    z_cache = {}
+    last_low = 0
+    mf = cfg.mapq_factor
+    for (bs, be) in full_blocks:
+        for pos in range(bs, be):
+            if low_acgt[pos] != 0:
+                continue
+            hi_mq = mq[pos] >= cfg.min_mapq
+            if not ((hi_mq and nwin[0, gc[pos]] > 1) or
+                    (not hi_mq and nwin[1, gc[pos]] > 1)):
+                continue
+            if hi_mq:
+                cls = 0
+                last_low = 0
+            elif depth[pos] == 0:
+                cls = last_low
+            else:
+                cls = 1
+                last_low = 1
+            g = int(gc[pos])
+            n = hi_n[g] if cls == 0 else lo_n[g]
+            if n <= 0:
+                continue
+            d = int(depth[pos])
+            key = (cls, g, d)
+            base_sd = z_cache.get(key)
+            if base_sd is None:
+                arr = hi_arr[g] if cls == 0 else lo_arr[g]
+                if cfg.ranks_stdev == 0:
+                    # -K 0: direct (ave-d)/σ with the 2x-mean dup clamp
+                    # (src/GROM.c:18838-18858, :18920-18940)
+                    sb = std[cls, g]
+                    if d < ave[cls, g]:
+                        base_sd = (ave[cls, g] - d) / sb if sb else 0.0
+                    elif d > cfg.dup_threshold_factor * ave[cls, g]:
+                        base_sd = ((cfg.dup_threshold_factor - 1)
+                                   * (-ave[cls, g]) / sb if sb else 0.0)
+                    else:
+                        base_sd = (ave[cls, g] - d) / sb if sb else 0.0
+                elif d < ave[cls, g]:
+                    bi = c_bisect_right(arr, d, 0, n)
+                    bi2 = c_bisect_left(arr, d, 0, n)
+                    di = 0.5 if bi <= 0 else float(bi)
+                    di2 = 0.5 if bi2 <= 0 else float(bi2)
+                    prob = (di + di2) / (2 * n)
+                    pi = c_bisect_right(pv_p, prob, 0, pv_len)
+                    pi = min(max(pi, 0), pv_len - 1)
+                    base_sd = pv_sd[pi]
+                else:
+                    if d > cfg.dup_threshold_factor * ave[cls, g]:
+                        bi = c_bisect_left(arr, cfg.dup_threshold_factor * ave[cls, g], 0, n)
+                    else:
+                        bi = c_bisect_left(arr, d, 0, n)
+                    bi2 = c_bisect_right(arr, d, 0, n)
+                    bi, bi2 = n - bi, n - bi2
+                    di = 0.5 if bi <= 0 else float(bi)
+                    di2 = 0.5 if bi2 <= 0 else float(bi2)
+                    prob = (di + di2) / (2 * n)
+                    pi = c_bisect_right(pv_p, prob, 0, pv_len)
+                    pi = min(max(pi, 0), pv_len - 1)
+                    base_sd = -pv_sd[pi]
+                z_cache[key] = base_sd
+            if mq[pos] >= cfg.min_mapq:
+                w = mf + (1.0 - mf) * (mq[pos] - cfg.min_mapq) / 40.0
+            else:
+                w = mf
+            stdev_list[pos] = w * base_sd
+
+    # ---- repeat rescoring (src/GROM.c:19018-19180) ----
+    if prep.most_biased_repeat != -1:
+        _repeat_rescore(feats, prep, depth, low_acgt, acgt, stdev_list,
+                        pv_p, pv_sd, cfg, m, rng)
+
+    # ---- null window model (src/GROM.c:18975-19015, 19180-19215) ----
+    win_std = _null_window_model(prep, depth, mq, gc, nwin, low_acgt,
+                                 stdev_list, cfg, L)
+
+    # ---- del/dup window scans ----
+    scan_blocks = [(m - 1, L - W)]
+    dels = _window_scan(scan_blocks, depth, mq, gc, nwin, low_acgt,
+                        stdev_list, del_thr, win_std, cfg, L, side=+1)
+    dups = _window_scan(scan_blocks, depth, mq, gc, nwin, low_acgt,
+                        stdev_list, dup_thr, win_std, cfg, L, side=-1)
+
+    # ---- copy number (src/GROM.c:20052-20250) ----
+    for lst in (dels, dups):
+        for c in lst:
+            vals = []
+            for p in range(c.start, c.end):
+                if low_acgt[p] == 0:
+                    cls = 0 if mq[p] >= cfg.min_mapq else 1
+                    a = ave[cls, gc[p]]
+                    if a > 0:
+                        vals.append(depth[p] / a)
+            if vals:
+                v = _broken_double_sort(np.array(vals))
+                t0 = int(0.1 * len(v))
+                t1 = len(v) - t0
+                if t1 - t0 > 0:
+                    c.cn = (v[t0:t1].sum() / (t1 - t0)) * ploidy
+                    c.cn_stdev = math.sqrt((((ploidy * v - c.cn) ** 2).sum()) / len(v))
+                else:
+                    c.cn = -1.0
+            else:
+                c.cn = -1.0
+    return dels, dups
+
+
+def _sticky_ffill(def_cls: np.ndarray, init: int) -> np.ndarray:
+    """Forward-fill -1 entries with the last definite class (initial=init)."""
+    out = def_cls.copy()
+    idx = np.arange(len(out))
+    known = out >= 0
+    fill_idx = np.where(known, idx, 0)
+    np.maximum.accumulate(fill_idx, out=fill_idx)
+    first = np.argmax(known) if known.any() else len(out)
+    vals = out[fill_idx]
+    vals[:first] = init
+    vals[out >= 0] = out[out >= 0]
+    return vals
+
+
+def _repeat_rescore(feats, prep, depth, low_acgt, acgt, stdev_list, pv_p,
+                    pv_sd, cfg, m, rng):
+    """Repeat-segment distributions + rescoring (src/GROM.c:18294-18340 +
+    :19018-19180)."""
+    segs = 10  # g_repeat_segments
+    cap = cfg.sample_lists_len
+    samp: List[List[int]] = [[] for _ in range(segs)]
+    alls = np.zeros(segs, dtype=np.int64)
+    half = m // 2
+    for i in range(len(feats.repeat_types)):
+        if feats.repeat_types[i] != prep.most_biased_repeat:
+            continue
+        rs, re = int(feats.repeat_starts[i]), int(feats.repeat_ends[i])
+        for pos in range(rs - half, re + half):
+            if pos < 0 or pos >= len(depth) or acgt[pos] < 99:
+                continue
+            if pos < rs:
+                seg = (segs - 1) * (pos - (rs - half)) // half
+            elif pos >= re:
+                seg = (segs - 1) * ((re + half) - pos) // half
+            else:
+                seg = segs - 1
+            d = int(depth[pos])
+            if len(samp[seg]) < cap:
+                samp[seg].append(d)
+            else:
+                if rng.integers(alls[seg]) == 0:
+                    samp[seg][rng.integers(len(samp[seg]))] = d
+            alls[seg] += 1
+    arrs = [np.sort(np.array(s, dtype=np.int64)) for s in samp]
+    seg_ave = np.zeros(segs)
+    for s in range(segs):
+        n = len(arrs[s])
+        if n > 0:
+            t0 = n // 20
+            t1 = n - t0
+            seg_ave[s] = arrs[s][t0:t1].sum() / (t1 - t0) if t1 > t0 else 0.0
+    pv_len = len(pv_p)
+    for i in range(len(feats.repeat_types)):
+        if feats.repeat_types[i] != prep.most_biased_repeat:
+            continue
+        rs, re = int(feats.repeat_starts[i]), int(feats.repeat_ends[i])
+        for pos in range(rs - half, re + half):
+            if pos < 0 or pos >= len(depth):
+                continue
+            if pos < rs:
+                seg = (segs - 1) * (pos - (rs - half)) // half
+            elif pos >= re:
+                seg = (segs - 1) * ((re + half) - pos) // half
+            else:
+                seg = segs - 1
+            if low_acgt[pos] != 0:
+                continue
+            n = len(arrs[seg])
+            if n == 0:
+                continue
+            d = int(depth[pos])
+            if d < seg_ave[seg]:
+                bi = c_bisect_right(arrs[seg], d, 0, n)
+                bi2 = c_bisect_left(arrs[seg], d, 0, n)
+                sign = 1.0
+            else:
+                if d > cfg.dup_threshold_factor * seg_ave[seg]:
+                    bi = c_bisect_left(arrs[seg], cfg.dup_threshold_factor * seg_ave[seg], 0, n)
+                else:
+                    bi = c_bisect_left(arrs[seg], d, 0, n)
+                bi2 = c_bisect_right(arrs[seg], d, 0, n)
+                bi, bi2 = n - bi, n - bi2
+                sign = -1.0
+            di = 0.5 if bi <= 0 else float(bi)
+            di2 = 0.5 if bi2 <= 0 else float(bi2)
+            prob = (di + di2) / (2 * n)
+            pi = c_bisect_right(pv_p, prob, 0, pv_len)
+            pi = min(max(pi, 0), pv_len - 1)
+            stdev_list[pos] = sign * pv_sd[pi]
+
+
+def _null_window_model(prep, depth, mq, gc, nwin, low_acgt, stdev_list, cfg, L):
+    """Per-length null window stdev (RMS) from sampled windows
+    (src/GROM.c:18975-19015 + :19180-19215)."""
+    maxw = cfg.max_rd_window_len
+    minw = cfg.min_rd_window_len
+    sums = np.zeros(maxw + 1)
+    counts = np.zeros(maxw + 1, dtype=np.int64)
+
+    hi_mq = mq >= cfg.min_mapq
+    gate = (low_acgt == 0) & np.where(hi_mq, nwin[0, gc] > 1, nwin[1, gc] > 1)
+    zg = np.where(gate, stdev_list, 0.0)
+    cg = gate.astype(np.int64)
+
+    # NOTE: the reference resets the window accumulators per BLOCK, not per
+    # phase (src/GROM.c:18790-18800 vs :18975): phase 1 inherits phase 0's
+    # unfinished window, which shifts all later window boundaries. Reproduce
+    # by carrying (window_len, z_total, gated_count) across phases.
+    for (bs, be) in prep.lowvar_blocks:
+        wl0 = 0
+        tot0 = 0.0
+        cnt0 = 0
+        for phase in range(cfg.sampling_rate):
+            adj = phase * maxw // cfg.sampling_rate
+            s = bs + adj
+            while s < be:
+                room = maxw - wl0
+                e = min(s + room, be)
+                n_seg = e - s
+                zc = tot0 + np.concatenate([[0.0], np.cumsum(zg[s:e])])
+                cc = cnt0 + np.concatenate([[0], np.cumsum(cg[s:e])])
+                lens = np.arange(wl0 + 1, wl0 + n_seg + 1)
+                rec = lens >= minw
+                if rec.any():
+                    li = lens[rec]
+                    vals_cnt = cc[1:][rec]
+                    ok = vals_cnt > 0
+                    v = np.zeros(len(li))
+                    v[ok] = zc[1:][rec][ok] / vals_cnt[ok]
+                    sums[li[ok]] += v[ok] ** 2
+                    counts[li[ok]] += 1
+                if wl0 + n_seg < maxw:
+                    # block (phase segment) ended mid-window: carry state
+                    wl0 += n_seg
+                    tot0 = float(zc[-1])
+                    cnt0 = int(cc[-1])
+                    break
+                # window completed exactly at maxw: reset and continue
+                wl0 = 0
+                tot0 = 0.0
+                cnt0 = 0
+                s = e
+
+    win_std = np.zeros(maxw + 1)
+    for w in range(minw, maxw + 1):
+        if counts[w] > 1:
+            win_std[w] = math.sqrt(sums[w] / (counts[w] - 1))
+    return win_std
+
+
+def _window_scan(blocks, depth, mq, gc, nwin, low_acgt, stdev_list,
+                 thr, win_std, cfg, L, side: int) -> List[CnvCall]:
+    """The del (side=+1) / dup (side=-1) window growth scan
+    (src/GROM.c:19358-19700 del, :19690-20035 dup). ``thr`` is the per
+    (class, gc) threshold; z totals are accumulated as side*z."""
+    minw = cfg.min_rd_window_len
+    maxw = cfg.max_rd_window_len
+    min_sd = 3.0  # g_one_base_read_depth_min_rd_low_stdev
+    max_low = cfg.max_rd_low_acgt_or_windows
+    max_dist = maxw + 500  # g_max_distance_since_last_del_good
+    out: List[CnvCall] = []
+
+    def seed_thr_ok(p, cls):
+        d = depth[p]
+        if side > 0:
+            return d <= thr[cls, gc[p]]
+        return d >= thr[cls, gc[p]]
+
+    for (bs, be0) in blocks:
+        be = be0 - minw
+        pos = bs
+        mq_index = 0
+        last_low = 0
+        while pos < be:
+            stop_base = False
+            if mq[pos] >= cfg.min_mapq:
+                mq_index = 0
+                last_low = 0
+            elif depth[pos] > 0:
+                mq_index = 1
+                last_low = 1
+            else:
+                mq_index = last_low
+            if seed_thr_ok(pos, mq_index):
+                temp_pos = pos
+                low_total = 0.0
+                low_count = 0
+                low_count2 = 0
+                wl = 0
+                begin = False
+                c_start = c_end = 0
+                c_sd = 0.0
+                last_good = 0
+                mqi = mq_index
+                for pa in range(pos, pos + minw):
+                    wl += 1
+                    if low_acgt[pa] == 0:
+                        if mq[pa] >= cfg.min_mapq:
+                            mqi = 0
+                        elif depth[pa] > 0:
+                            mqi = 1
+                        if seed_thr_ok(pa, mqi):
+                            low_count2 += 1
+                        elif 2 * low_count2 < wl:
+                            stop_base = True
+                            temp_pos = pa
+                            break
+                    elif 2 * low_count2 < wl:
+                        stop_base = True
+                        temp_pos = pa
+                        break
+                if not stop_base:
+                    low_count = minw
+                    low_total = 0.0
+                    for pa in range(pos, pos + minw):
+                        low_count -= low_acgt[pa]
+                        low_total += side * stdev_list[pa]
+                    if (low_count > 0 and win_std[minw] > 0
+                            and low_total / (low_count * win_std[minw]) >= min_sd
+                            and (minw - low_count) / minw <= max_low):
+                        begin = True
+                        c_start = pos
+                        last_good = pos + minw
+                        c_end = pos + minw
+                        c_sd = low_total / (low_count * win_std[minw])
+                if not stop_base:
+                    for pa in range(pos + minw, pos + maxw):
+                        wl += 1
+                        if pa >= be:  # ddd_pos_a >= ddd_end (src/GROM.c:19504)
+                            stop_base = True
+                            break
+                        if low_acgt[pa] == 0:
+                            if mq[pa] >= cfg.min_mapq:
+                                mqi = 0
+                            elif depth[pa] > 0:
+                                mqi = 1
+                            low_total += side * stdev_list[pa]
+                            low_count += 1
+                            if seed_thr_ok(pa, mqi):
+                                low_count2 += 1
+                                if (win_std[wl] > 0
+                                        and low_total / (low_count * win_std[wl]) >= min_sd
+                                        and (wl - low_count) / wl <= max_low):
+                                    last_good = pa
+                                    if not begin:
+                                        begin = True
+                                        c_start = pos
+                                        c_end = pa
+                                        c_sd = low_total / (low_count * win_std[wl])
+                                    else:
+                                        ts = low_total / (low_count * win_std[wl])
+                                        c_end = pa
+                                        if ts > c_sd:
+                                            c_sd = ts
+                            elif 2 * low_count2 < wl:
+                                stop_base = True
+                                break
+                        elif 2 * low_count2 < wl:
+                            stop_base = True
+                            break
+                if not stop_base and begin:
+                    # slide max-window extension (src/GROM.c:19510-19600)
+                    pa = pos + maxw
+                    s_total = 0.0
+                    s_count = 0
+                    mqb = mqi
+                    while pa < L and (pa - last_good) <= max_dist:
+                        if pa == pos + maxw:
+                            for pb in range(pa - maxw + 1, pa + 1):
+                                if mq[pb] >= cfg.min_mapq:
+                                    mqb = 0
+                                elif depth[pb] > 0:
+                                    mqb = 1
+                                if low_acgt[pb] == 0 and nwin[mqb, gc[pb]] > 1:
+                                    s_total += side * stdev_list[pb]
+                                    s_count += 1
+                        else:
+                            pb = pa - maxw
+                            if mq[pb] >= cfg.min_mapq:
+                                mqb = 0
+                            elif depth[pb] > 0:
+                                mqb = 1
+                            if low_acgt[pb] == 0 and nwin[mqb, gc[pb]] > 1:
+                                s_total -= side * stdev_list[pb]
+                                s_count -= 1
+                            if mq[pa] >= cfg.min_mapq:
+                                mqi = 0
+                            elif depth[pa] > 0:
+                                mqi = 1
+                            if low_acgt[pa] == 0 and nwin[mqi, gc[pa]] > 1:
+                                s_total += side * stdev_list[pa]
+                                s_count += 1
+                        if (s_count > 0 and win_std[maxw] > 0
+                                and s_total / (s_count * win_std[maxw]) >= min_sd
+                                and (maxw - s_count) / maxw <= max_low):
+                            last_good = pa
+                            c_end = pa
+                            ts = s_total / (s_count * win_std[maxw])
+                            if ts > c_sd:
+                                c_sd = ts
+                        pa += 1
+                if begin:
+                    # trailing trim (src/GROM.c:19585-19660)
+                    pos = c_end
+                    while pos > c_start + minw:
+                        if mq[pos] >= cfg.min_mapq:
+                            mqi = 0
+                        elif depth[pos] > 0:
+                            mqi = 1
+                        if not seed_thr_ok(pos, mqi):
+                            pos -= 1
+                            c_end = pos
+                        else:
+                            lc2 = 0
+                            lc3 = 0
+                            pa = c_end
+                            mqa = mqi
+                            stop_w = False
+                            while pa > c_start + minw and not stop_w:
+                                if low_acgt[pa] == 0:
+                                    if mq[pa] >= cfg.min_mapq:
+                                        mqa = 0
+                                    elif depth[pa] > 0:
+                                        mqa = 1
+                                    lc3 += 1
+                                    if seed_thr_ok(pa, mqa):
+                                        lc2 += 1
+                                if (lc3 == 0 or (lc3 > 0 and lc2 / lc3 < 0.5)
+                                        or (c_end - pa + 1 - lc3) / (c_end - pa + 1.0) > max_low):
+                                    c_end = pa - 1
+                                    stop_w = True
+                                pa -= 1
+                            pos = pa
+                    pos = c_end + 1
+                    out.append(CnvCall(c_start, c_end, c_sd))
+                elif stop_base:
+                    pos = temp_pos
+            pos += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# P-values and emission (src/GROM.c:17146-17500)
+# ---------------------------------------------------------------------------
+
+def sd_to_pvalue(sd: float) -> float:
+    """The reference's SD→p conversion with its buggy t = 1/(1+p+x)
+    (src/GROM.c:17158)."""
+    x = abs(sd) / math.sqrt(2.0)
+    t = 1.0 / (1.0 + _A_P + x)
+    erf = 1.0 - (_A1 * t + _A2 * t**2 + _A3 * t**3 + _A4 * t**4 + _A5 * t**5) * math.exp(-x**2)
+    return (1.0 - erf) / 2.0
+
+
+def format_cnv_rows(chr_name: str, dels: List[CnvCall], dups: List[CnvCall],
+                    cfg: GromConfig) -> List[str]:
+    rows = []
+    for lst, tag in ((dels, "DEL"), (dups, "DUP")):
+        for c in lst:
+            c.pvalue = sd_to_pvalue(c.stdev)
+        for c in lst:
+            if c.pvalue < cfg.rd_pval_threshold:
+                rows.append("%s\t%d\t.\t.\t<%s>\t.\t.\tEND=%d\tSD:Z:CN:CS\t%e:%e:%.2f:%e"
+                            % (chr_name, c.start + 1, tag, c.end + 1, c.stdev,
+                               c.pvalue, c.cn, c.cn_stdev))
+    return rows
+
+
+def call_cnv(chrom: np.ndarray, rd_hi: np.ndarray, rd_lo: np.ndarray,
+             rd_mq_sum: np.ndarray, cfg: GromConfig, drv: DerivedConfig,
+             chr_name: str, is_chrx: bool = False) -> List[str]:
+    """Full CNV pipeline for one chromosome. rd_mq_sum is the raw per-base
+    mapq sum (normalized to mean in here, mirroring src/GROM.c:16637)."""
+    ploidy = cfg.ploidy // 2 if (is_chrx and cfg.gender == 1) else cfg.ploidy
+    feats = preprocess_reference(chrom, drv.insert_mean, cfg.min_repeat)
+    prep = prep_cnv(chrom, feats, rd_hi, rd_lo, rd_mq_sum, cfg, drv)
+    dels, dups = detect_del_dup(chrom, feats, prep, rd_hi, rd_lo, cfg, drv,
+                                ploidy)
+    return format_cnv_rows(chr_name, dels, dups, cfg)

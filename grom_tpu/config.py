@@ -102,6 +102,7 @@ class GromConfig:
     insert_max_mult: int = 5               # g_insert_max_mult
     range_mult: float = 0.75               # g_range_mult (pairing window)
     sc_range: int = 35                     # g_sc_range (INS candidate spacing)
+    max_rd_low_acgt_or_windows: float = 2.0  # g_max_rd_low_acgt_or_windows
     num_gc_bins: int = 101                 # g_num_gc_bins
     sample_lists_len: int = 100_000        # g_sample_lists_len
     add_factor: int = 6                    # cdp_add_factor for mq>=min_mapq (src/GROM.c:2548)
@@ -172,6 +173,9 @@ class DerivedConfig:
     def from_insert_stats(cfg: GromConfig, insert_mean: int, insert_min: int,
                           insert_max: int, read_len: int,
                           mapped_reads: int) -> "DerivedConfig":
+        # src/GROM.c:22260-22262: insert mean is clamped to >= read length
+        if insert_mean < read_len:
+            insert_mean = read_len
         # src/GROM.c:22282-22290: window = 2*8*overlap_mult*max(2*mean-1, max+1)
         base = max(2 * insert_mean - 1, insert_max + 1)
         one_base_rd_len = 2 * 8 * cfg.overlap_mult * base

@@ -151,4 +151,9 @@ def call_chromosome(chrom: np.ndarray, reads: bam_mod.RawReads,
                                             del_list, d_index, del2, cfg, drv))
     rows.extend(sv_mod.format_del_rows(out_name, del2, del_list, d_index,
                                        cfg, drv))
+
+    from grom_tpu.call import cnv as cnv_mod
+    from grom_tpu.ingest.fasta import is_chrx
+    rows.extend(cnv_mod.call_cnv(chrom, arr.rd_hi, arr.rd_lo, arr.rd_mq,
+                                 cfg, drv, out_name, is_chrx(out_name)))
     return rows, ctx_records
