@@ -4,7 +4,9 @@ logic is exercised without TPU hardware."""
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the environment pins JAX_PLATFORMS=axon (single real TPU);
+# tests exercise sharding on a virtual 8-device CPU mesh instead.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
