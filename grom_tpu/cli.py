@@ -1,0 +1,168 @@
+"""Command-line interface mirroring the reference binary's flag surface
+(src/GROM.c:21908-22099, README.md:93-253), including the undocumented flags
+(-l/-F/-N/-R/-G/-f/-c). Invoke as ``python -m grom_tpu`` or via the
+``grom-tpu`` console script.
+"""
+
+from __future__ import annotations
+
+import getopt
+import multiprocessing
+import os
+import sys
+from typing import List, Optional
+
+from grom_tpu.config import FLAG_MAP, TOGGLE_MAP, GromConfig
+
+_GETOPT = "i:r:o:g:p:b:q:v:e:V:d:j:u:w:y:z:a:n:x:k:m:s:A:D:E:K:L:U:W:X:Y:Z:N:B:G:l:F:R:P:c:MSfh"
+
+HELP = """GROM-TPU — TPU-native integrated variant caller (SNV/indel/SV/CNV)
+
+Usage: grom-tpu -i <bam> -r <fasta> -o <out.vcf> [options]
+
+Required:
+  -i FILE   coordinate-sorted, indexed BAM
+  -r FILE   reference FASTA
+  -o FILE   output VCF (translocations go to <out>.ctx.vcf)
+
+Common options (defaults mirror the reference, code over README):
+  -M        enable duplicate-read filtering            [off]
+  -S        disable split-read analysis                [on]
+  -g INT    gender: 0 female, 1 male                   [0]
+  -p INT    ploidy                                     [2]
+  -P INT    process chromosomes in parallel with N workers
+  -b INT    min base quality                           [20]
+  -q INT    min mapping quality                        [20]
+  -v FLOAT  probability threshold (SNV/indel/SV)       [0.001]
+  -e FLOAT  probability threshold for insertions       [1e-10]
+  -V FLOAT  probability threshold for CNVs             [1e-9]
+  -d INT    min reads supporting a breakpoint          [3]
+  -a/-n/-x  SNV ratio / min reads / min avg bq         [0.2 / 3 / 15]
+  -j/-u     SV ratio / max weak-evidence ratio         [0.05 / 0.25]
+  -k/-m     max homopolymer / min indel ratio          [10 / 0.125]
+  -w/-y/-z  ins-range / split loss / min split length  [10 / 20 / 30]
+  -s FLOAT  SDs for insert-size concordance            [3]
+  CNV: -A sampling  -D/-E repeat len/SD  -K ranks  -L dup-cov
+       -U excessive-cov  -W/-X window min/max  -Y blocks  -Z block size
+  Internal/undocumented (kept for parity): -B max chr len, -G list size,
+       -l overlap mult, -F mapq factor, -N 1000genomes window,
+       -R sub-region Mb, -c chr,sub,start,end, -f tabular output
+"""
+
+
+def parse_args(argv: List[str]) -> Optional[GromConfig]:
+    try:
+        opts, _ = getopt.getopt(argv, _GETOPT)
+    except getopt.GetoptError as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        return None
+    cfg = GromConfig()
+    kw = {}
+    for flag, val in opts:
+        f = flag.lstrip("-")
+        if f == "h":
+            print(HELP)
+            return None
+        if f in TOGGLE_MAP:
+            field, value = TOGGLE_MAP[f]
+            kw[field] = value
+        elif f in FLAG_MAP:
+            field, typ = FLAG_MAP[f]
+            kw[field] = typ(val)
+    cfg = cfg.replace(**kw)
+    if not cfg.bam:
+        print("ERROR: No bam file specified.", file=sys.stderr)
+        return None
+    if not cfg.ref_fasta:
+        print("ERROR: No reference file specified.", file=sys.stderr)
+        return None
+    if not cfg.out_vcf:
+        print("ERROR: No output file specified.", file=sys.stderr)
+        return None
+    return cfg
+
+
+def _run_one_chromosome(args):
+    """Worker: call one chromosome, return (refid, rows, ctx_records)."""
+    cfg_json, refid = args
+    import numpy as np
+
+    from grom_tpu.config import DerivedConfig, GromConfig
+    from grom_tpu.driver import call_chromosome
+    from grom_tpu.ingest import bam as bam_mod
+    from grom_tpu.ingest import fasta as fasta_mod
+    from grom_tpu.ingest.insert_size import load_or_estimate
+    from grom_tpu.stats import binom
+
+    cfg = GromConfig.from_json(cfg_json)
+    info = fasta_mod.index_fasta(cfg.ref_fasta)
+    header, reads = bam_mod.read_bam(cfg.bam)
+    ins = load_or_estimate(cfg.bam, reads, cfg)
+    drv = DerivedConfig.from_insert_stats(cfg, ins.insert_mean, ins.insert_min,
+                                          ins.insert_max, ins.read_len,
+                                          ins.mapped_read_bases)
+    bam_name = header.ref_names[refid]
+    fa_name = fasta_mod.match_chromosome(bam_name, info.names)
+    if fa_name is None:
+        return refid, [], []
+    out_name = fa_name.lower()
+    if fasta_mod.is_chry(fa_name) and cfg.gender == 0:
+        return refid, [], []
+    mq_table = binom.build_mq_table(cfg.min_mapq if cfg.min_mapq > 10 else 10,
+                                    cfg.max_trials)
+    hez_table = binom.build_hez_table(cfg.max_trials)
+    chrom = fasta_mod.load_chromosome(cfg.ref_fasta, info, fa_name)
+    sel = np.flatnonzero(reads.refid == refid)
+    rows, ctx = call_chromosome(chrom, reads, sel, refid, out_name, cfg, drv,
+                                mq_table, hez_table)
+    return refid, rows, ctx
+
+
+def run_parallel(cfg: GromConfig) -> None:
+    """-P mode: chromosome-level parallelism via a process pool — the
+    TPU-native replacement of the reference's fork/execv scheduler
+    (src/GROM.c:354-624). Output order stays deterministic (BAM header
+    order), unlike the reference's completion-order concatenation."""
+    import numpy as np
+
+    from grom_tpu.call.ctx import write_ctx_vcf
+    from grom_tpu.config import DerivedConfig
+    from grom_tpu.driver import _ctx_path
+    from grom_tpu.ingest import bam as bam_mod
+    from grom_tpu.ingest import fasta as fasta_mod
+    from grom_tpu.ingest.insert_size import load_or_estimate
+    from grom_tpu.vcfio.writer import VcfWriter
+
+    header, reads = bam_mod.read_bam(cfg.bam, want_names=False)
+    ins = load_or_estimate(cfg.bam, reads, cfg)
+    drv = DerivedConfig.from_insert_stats(cfg, ins.insert_mean, ins.insert_min,
+                                          ins.insert_max, ins.read_len,
+                                          ins.mapped_read_bases)
+    del reads
+    jobs = [(cfg.to_json(), refid) for refid in range(header.n_ref)]
+    with multiprocessing.get_context("spawn").Pool(cfg.processes) as pool:
+        results = pool.map(_run_one_chromosome, jobs)
+    results.sort(key=lambda t: t[0])
+    writer = VcfWriter(cfg.out_vcf, cfg.ref_fasta)
+    all_ctx = []
+    for _, rows, ctx in results:
+        writer.write_rows(rows)
+        all_ctx.extend(ctx)
+    writer.close()
+    write_ctx_vcf(_ctx_path(cfg.out_vcf), all_ctx, header.ref_names, cfg, drv)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    cfg = parse_args(sys.argv[1:] if argv is None else argv)
+    if cfg is None:
+        return 1
+    if cfg.processes > 1:
+        run_parallel(cfg)
+    else:
+        from grom_tpu.driver import run
+        run(cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
