@@ -67,15 +67,28 @@ class CtxCandidate:
 
 
 def _binom_pair(rd: int, strong: int, weak: int, mq_table, hez_table,
-                af: int, max_trials: int) -> Tuple[float, float]:
+                af: int, max_trials: int, gate_weak: Optional[int] = None,
+                gate_strong: Optional[int] = None) -> Tuple[float, float]:
     """The per-detector probability pattern (e.g. src/GROM.c:11966-12010):
     binom from strong evidence vs rd; hez (default 2.0) from strong+weak when
-    weak/strong <= max_evidence_ratio."""
+    gate_weak/gate_strong <= max_evidence_ratio.
+
+    gate_weak/gate_strong default to weak/strong; ctx_r's rd<=max_trials
+    branch passes the ctx_f-side values to reproduce the reference's
+    copy-paste bug at src/GROM.c:12068 (0/0 → NaN → gate fails → hez 2.0).
+    A zero gate_strong divides by zero in float like the reference (inf or
+    NaN compare false unless weak is 0 too... 0/0 is NaN → false).
+    """
+    def gate_ok(w, s):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.float32(w) / np.float32(s)
+        return bool(r <= np.float32(0.25))
+
     hez = 2.0
     if rd > max_trials:
         k = strong * max_trials // (af * rd)
         binom = mq_table[max_trials][min(k, max_trials)]
-        if strong and np.float32(weak) / np.float32(strong) <= np.float32(0.25):
+        if gate_ok(weak, strong):
             k2 = (strong + weak) // af
             if k2 < rd:
                 k2i = (strong + weak) * max_trials // (af * rd)
@@ -84,7 +97,9 @@ def _binom_pair(rd: int, strong: int, weak: int, mq_table, hez_table,
                 hez = hez_table[max_trials][max_trials]
     else:
         binom = mq_table[rd][min(strong // af, max_trials)]
-        if strong and np.float32(weak) / np.float32(strong) <= np.float32(0.25):
+        gw = weak if gate_weak is None else gate_weak
+        gs = strong if gate_strong is None else gate_strong
+        if gate_ok(gw, gs):
             k2 = (strong + weak) // af
             if k2 < rd:
                 hez = hez_table[rd][k2]
@@ -214,9 +229,13 @@ class SvDetector:
                     st.other_len(pos), p.mchr, int(p.dist), p.rs, p.re))
         p = get(E_CTX_R)
         if p and p.count // af >= md and p.rs + lseq - pos < mean:
-            binom, hez = _binom_pair(rd, p.count,
-                                     int(d.sc_left[pos]) + int(d.munmapped_r[pos]),
-                                     mq_t, hez_t, af, mt)
+            pf = prim.get((E_CTX_F, pos))
+            ctx_f_here = pf.count if pf else 0
+            binom, hez = _binom_pair(
+                rd, p.count, int(d.sc_left[pos]) + int(d.munmapped_r[pos]),
+                mq_t, hez_t, af, mt,
+                gate_weak=int(d.sc_right[pos]) + int(d.munmapped_f[pos]),
+                gate_strong=ctx_f_here)
             if binom <= thr1 and len(self.ctx_r_list) < cfg.sv_list_len - 1:
                 self.ctx_r_list.append(CtxCandidate(
                     pos, binom, hez, p.count, rd, int(d.conc[pos]),
