@@ -494,73 +494,78 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
     pv_p, pv_sd = build_pval2sd()
     pv_len = len(pv_p)
     stdev_list = np.zeros(L)
-    z_cache = {}
-    last_low = 0
     mf = cfg.mapq_factor
+    # The reference walks every base keying a (class, gc, depth) z cache
+    # (src/GROM.c:18770-18965); we resolve the sticky class vectorized,
+    # then evaluate one z per unique key and scatter.
     for (bs, be) in full_blocks:
-        for pos in range(bs, be):
-            if low_acgt[pos] != 0:
-                continue
-            hi_mq = mq[pos] >= cfg.min_mapq
-            if not ((hi_mq and nwin[0, gc[pos]] > 1) or
-                    (not hi_mq and nwin[1, gc[pos]] > 1)):
-                continue
-            if hi_mq:
-                cls = 0
-                last_low = 0
-            elif depth[pos] == 0:
-                cls = last_low
-            else:
-                cls = 1
-                last_low = 1
-            g = int(gc[pos])
+        if be <= bs:
+            continue
+        sl = slice(bs, be)
+        nloc = be - bs
+        hi_mq_v = mq[sl] >= cfg.min_mapq
+        gcv = gc[sl]
+        eligible = (low_acgt[sl] == 0) & np.where(
+            hi_mq_v, nwin[0, gcv] > 1, nwin[1, gcv] > 1)
+        defz = np.where(hi_mq_v, 0, np.where(depth[sl] > 0, 1, -1))
+        # last_low updates only at eligible definite-class positions
+        upd = eligible & (defz >= 0)
+        fi = np.where(upd, np.arange(nloc), -1)
+        np.maximum.accumulate(fi, out=fi)
+        cls_v = np.where(defz >= 0, defz,
+                         np.where(fi >= 0, defz[np.maximum(fi, 0)], 0))
+        n_hi = np.array(hi_n, dtype=np.int64)
+        n_lo = np.array(lo_n, dtype=np.int64)
+        n_at = np.where(cls_v == 0, n_hi[gcv], n_lo[gcv])
+        valid = eligible & (n_at > 0)
+        vi = np.flatnonzero(valid)
+        if len(vi) == 0:
+            continue
+        keys = np.stack([cls_v[vi], gcv[vi], depth[sl][vi]], axis=1)
+        ukeys, inv = np.unique(keys, axis=0, return_inverse=True)
+        base = np.empty(len(ukeys))
+        for k, (cls, g, d) in enumerate(ukeys):
+            cls, g, d = int(cls), int(g), int(d)
+            arr = hi_arr[g] if cls == 0 else lo_arr[g]
             n = hi_n[g] if cls == 0 else lo_n[g]
-            if n <= 0:
-                continue
-            d = int(depth[pos])
-            key = (cls, g, d)
-            base_sd = z_cache.get(key)
-            if base_sd is None:
-                arr = hi_arr[g] if cls == 0 else lo_arr[g]
-                if cfg.ranks_stdev == 0:
-                    # -K 0: direct (ave-d)/σ with the 2x-mean dup clamp
-                    # (src/GROM.c:18838-18858, :18920-18940)
-                    sb = std[cls, g]
-                    if d < ave[cls, g]:
-                        base_sd = (ave[cls, g] - d) / sb if sb else 0.0
-                    elif d > cfg.dup_threshold_factor * ave[cls, g]:
-                        base_sd = ((cfg.dup_threshold_factor - 1)
-                                   * (-ave[cls, g]) / sb if sb else 0.0)
-                    else:
-                        base_sd = (ave[cls, g] - d) / sb if sb else 0.0
-                elif d < ave[cls, g]:
-                    bi = c_bisect_right(arr, d, 0, n)
-                    bi2 = c_bisect_left(arr, d, 0, n)
-                    di = 0.5 if bi <= 0 else float(bi)
-                    di2 = 0.5 if bi2 <= 0 else float(bi2)
-                    prob = (di + di2) / (2 * n)
-                    pi = c_bisect_right(pv_p, prob, 0, pv_len)
-                    pi = min(max(pi, 0), pv_len - 1)
-                    base_sd = pv_sd[pi]
+            if cfg.ranks_stdev == 0:
+                # -K 0: direct (ave-d)/σ with the 2x-mean dup clamp
+                # (src/GROM.c:18838-18858, :18920-18940)
+                sb = std[cls, g]
+                if d < ave[cls, g]:
+                    base_sd = (ave[cls, g] - d) / sb if sb else 0.0
+                elif d > cfg.dup_threshold_factor * ave[cls, g]:
+                    base_sd = ((cfg.dup_threshold_factor - 1)
+                               * (-ave[cls, g]) / sb if sb else 0.0)
                 else:
-                    if d > cfg.dup_threshold_factor * ave[cls, g]:
-                        bi = c_bisect_left(arr, cfg.dup_threshold_factor * ave[cls, g], 0, n)
-                    else:
-                        bi = c_bisect_left(arr, d, 0, n)
-                    bi2 = c_bisect_right(arr, d, 0, n)
-                    bi, bi2 = n - bi, n - bi2
-                    di = 0.5 if bi <= 0 else float(bi)
-                    di2 = 0.5 if bi2 <= 0 else float(bi2)
-                    prob = (di + di2) / (2 * n)
-                    pi = c_bisect_right(pv_p, prob, 0, pv_len)
-                    pi = min(max(pi, 0), pv_len - 1)
-                    base_sd = -pv_sd[pi]
-                z_cache[key] = base_sd
-            if mq[pos] >= cfg.min_mapq:
-                w = mf + (1.0 - mf) * (mq[pos] - cfg.min_mapq) / 40.0
+                    base_sd = (ave[cls, g] - d) / sb if sb else 0.0
+            elif d < ave[cls, g]:
+                bi = c_bisect_right(arr, d, 0, n)
+                bi2 = c_bisect_left(arr, d, 0, n)
+                di = 0.5 if bi <= 0 else float(bi)
+                di2 = 0.5 if bi2 <= 0 else float(bi2)
+                prob = (di + di2) / (2 * n)
+                pi = c_bisect_right(pv_p, prob, 0, pv_len)
+                pi = min(max(pi, 0), pv_len - 1)
+                base_sd = pv_sd[pi]
             else:
-                w = mf
-            stdev_list[pos] = w * base_sd
+                if d > cfg.dup_threshold_factor * ave[cls, g]:
+                    bi = c_bisect_left(arr, cfg.dup_threshold_factor * ave[cls, g], 0, n)
+                else:
+                    bi = c_bisect_left(arr, d, 0, n)
+                bi2 = c_bisect_right(arr, d, 0, n)
+                bi, bi2 = n - bi, n - bi2
+                di = 0.5 if bi <= 0 else float(bi)
+                di2 = 0.5 if bi2 <= 0 else float(bi2)
+                prob = (di + di2) / (2 * n)
+                pi = c_bisect_right(pv_p, prob, 0, pv_len)
+                pi = min(max(pi, 0), pv_len - 1)
+                base_sd = -pv_sd[pi]
+            base[k] = base_sd
+        w = np.where(hi_mq_v[vi],
+                     mf + (1.0 - mf) * (mq[sl][vi] - cfg.min_mapq) / 40.0,
+                     mf)
+        stdev_list[bs + vi] = w * base[inv]
 
     # ---- repeat rescoring (src/GROM.c:19018-19180) ----
     if prep.most_biased_repeat != -1:
@@ -754,9 +759,271 @@ def _null_window_model(prep, depth, mq, gc, nwin, low_acgt, stdev_list, cfg, L):
 
 def _window_scan(blocks, depth, mq, gc, nwin, low_acgt, stdev_list,
                  thr, win_std, cfg, L, side: int) -> List[CnvCall]:
-    """The del (side=+1) / dup (side=-1) window growth scan
+    """Vectorized window growth scan, semantically identical to
+    :func:`_window_scan_ref` (the direct port of src/GROM.c:19358-20035).
+
+    The reference walks every base and, per seed, every base of the grow
+    window — O(L + seeds*maxw) Python-level steps. Here the outer walk
+    jumps between precomputed seed candidates (class-resolved lazily via
+    forward-filled last-definite-class indices, reproducing the sticky
+    ``mq_index``/``last_low`` state), and the minw/grow inner loops are
+    evaluated as cumulative-sum array expressions per seed. The rare
+    slide/trim phases stay as direct loops."""
+    minw = cfg.min_rd_window_len
+    maxw = cfg.max_rd_window_len
+    min_sd = 3.0  # g_one_base_read_depth_min_rd_low_stdev
+    max_low = cfg.max_rd_low_acgt_or_windows
+    max_dist = maxw + 500  # g_max_distance_since_last_del_good
+    out: List[CnvCall] = []
+
+    idx = np.arange(L, dtype=np.int64)
+    defc = np.where(mq >= cfg.min_mapq, 0,
+                    np.where(depth > 0, 1, -1)).astype(np.int64)
+    # index of last position <= p with a definite class (ungated / gated)
+    ld_all = np.where(defc >= 0, idx, np.int64(-1))
+    np.maximum.accumulate(ld_all, out=ld_all)
+    lowa = low_acgt == 0
+    ld_gated = np.where(lowa & (defc >= 0), idx, np.int64(-1))
+    np.maximum.accumulate(ld_gated, out=ld_gated)
+    defc_safe = defc[np.maximum(ld_all, 0)]
+    defg_safe = defc[np.maximum(ld_gated, 0)]
+    thr0 = thr[0, gc]
+    thr1 = thr[1, gc]
+    if side > 0:
+        sok0 = depth <= thr0
+        sok1 = depth <= thr1
+    else:
+        sok0 = depth >= thr0
+        sok1 = depth >= thr1
+    cand = np.where(defc == 0, sok0,
+                    np.where(defc == 1, sok1, sok0 | sok1))
+    svals = side * stdev_list
+    lowa_i = lowa.astype(np.int64)
+
+    def gated_cls(p, start, fallback):
+        q = ld_gated[p]
+        return int(defc[q]) if q >= start else fallback
+
+    for (bs, be0) in blocks:
+        be = be0 - minw
+        if be <= bs:
+            continue
+        cand_idx = np.flatnonzero(cand[bs:be]) + bs
+        run_start = bs   # first position of the current contiguously-visited run
+        ll0 = 0          # last_low value on entry to run_start
+        i = 0
+        n_cand = len(cand_idx)
+        while i < n_cand:
+            pos = int(cand_idx[i])
+            # outer sticky class at pos (src/GROM.c:19366-19380)
+            dc = defc[pos]
+            if dc >= 0:
+                mq_index = int(dc)
+            else:
+                q = ld_all[pos]
+                mq_index = int(defc[q]) if q >= run_start else ll0
+            sok_cls = sok0 if mq_index == 0 else sok1
+            if not sok_cls[pos]:
+                i += 1
+                continue
+
+            # ---- seed accepted: evaluate minw + grow windows as arrays ----
+            # the first-window loop always covers [pos, pos+minw); the grow
+            # loop stops at pa >= be (src/GROM.c:19504)
+            n = max(minw, min(maxw, be - pos))
+            w_end = pos + n
+            qg = ld_gated[pos:w_end]
+            cls_w = np.where(qg >= pos, defg_safe[pos:w_end], mq_index)
+            sok_w = np.where(cls_w == 0, sok0[pos:w_end], sok1[pos:w_end])
+            lowa_w = lowa[pos:w_end]
+            inc = lowa_w & sok_w
+            wl = np.arange(1, n + 1, dtype=np.int64)
+            lc2 = np.cumsum(inc)
+            lc2_excl = lc2 - inc
+            fail = (~inc) & (2 * lc2_excl < wl)
+            fail_idx = np.flatnonzero(fail)
+            f1 = int(fail_idx[0]) if len(fail_idx) else n
+
+            stop_base = False
+            begin = False
+            c_start = c_end = 0
+            c_sd = 0.0
+            last_good = 0
+            temp_pos = pos
+            next_pos = pos + 1
+
+            if f1 < minw:
+                # stopped inside the first window (src/GROM.c:19420-19435)
+                stop_base = True
+                temp_pos = pos + f1
+                next_pos = temp_pos + 1
+            else:
+                # first-window check (src/GROM.c:19440-19470)
+                low_count0 = int(lowa_i[pos:pos + minw].sum())
+                # cumsum, not sum: keeps the reference's sequential fp
+                # accumulation order so c_sd matches to the last ulp
+                low_total0 = float(np.cumsum(svals[pos:pos + minw])[-1])
+                if (low_count0 > 0 and win_std[minw] > 0
+                        and low_total0 / (low_count0 * win_std[minw]) >= min_sd
+                        and (minw - low_count0) / minw <= max_low):
+                    begin = True
+                    c_start = pos
+                    last_good = pos + minw
+                    c_end = pos + minw
+                    c_sd = low_total0 / (low_count0 * win_std[minw])
+
+                # grow segment [minw, f2) with cumulative totals
+                f2 = f1  # first fail overall (>= minw here)
+                g_end = min(f2, n)
+                if g_end > minw:
+                    gsl = slice(pos + minw, pos + g_end)
+                    # seed the cumsum with low_total0 so the fp adds happen
+                    # in the reference's ((t0+s1)+s2)+... association
+                    lt = np.cumsum(np.concatenate(
+                        [[low_total0], np.where(lowa[gsl], svals[gsl], 0.0)]))[1:]
+                    lc = low_count0 + np.cumsum(lowa_i[gsl])
+                    wlg = wl[minw:g_end]
+                    ws = win_std[wlg]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        ts = np.where((lc > 0) & (ws > 0),
+                                      lt / (lc * ws), 0.0)
+                    good = (inc[minw:g_end] & (ws > 0)
+                            & (ts >= min_sd)
+                            & ((wlg - lc) / wlg <= max_low))
+                    gi = np.flatnonzero(good)
+                    if len(gi):
+                        pa_good = pos + minw + gi
+                        if not begin:
+                            begin = True
+                            c_start = pos
+                        last_good = int(pa_good[-1])
+                        c_end = last_good
+                        c_sd = max(c_sd, float(ts[gi].max()))
+                if f2 < n:
+                    stop_base = True          # fail inside grow: no temp_pos
+                elif n < maxw:
+                    stop_base = True          # hit be (src/GROM.c:19504)
+                # gated sticky mq-class after the last processed position
+                lp = pos + f2 if f2 < n else pos + n - 1
+                mqi = gated_cls(lp, pos, mq_index)
+
+                if not stop_base and begin:
+                    c_end, c_sd, last_good, mqi = _slide_phase(
+                        pos, maxw, L, max_dist, last_good, c_end, c_sd, mqi,
+                        mq, depth, lowa, nwin, gc, svals, win_std, cfg,
+                        min_sd, max_low)
+                if begin:
+                    c_end, trim_pos = _trim_phase(
+                        c_start, c_end, minw, mqi, mq, depth, lowa,
+                        sok0, sok1, cfg, max_low)
+                    out.append(CnvCall(c_start, c_end, c_sd))
+                    next_pos = c_end + 2
+                elif stop_base:
+                    next_pos = temp_pos + 1
+                else:
+                    next_pos = pos + 1
+
+            if stop_base and not begin:
+                next_pos = temp_pos + 1
+            # carry the outer sticky state across the jump
+            q = ld_all[pos]
+            ll0 = int(defc[q]) if q >= run_start else ll0
+            run_start = next_pos
+            i = int(np.searchsorted(cand_idx, next_pos))
+    return out
+
+
+def _slide_phase(pos, maxw, L, max_dist, last_good, c_end, c_sd, mqi,
+                 mq, depth, lowa, nwin, gc, svals, win_std, cfg,
+                 min_sd, max_low):
+    """Max-window slide extension (src/GROM.c:19510-19600); rare, kept as a
+    direct loop with the reference's stale sticky-class semantics."""
+    pa = pos + maxw
+    s_total = 0.0
+    s_count = 0
+    mqb = mqi
+    while pa < L and (pa - last_good) <= max_dist:
+        if pa == pos + maxw:
+            for pb in range(pa - maxw + 1, pa + 1):
+                if mq[pb] >= cfg.min_mapq:
+                    mqb = 0
+                elif depth[pb] > 0:
+                    mqb = 1
+                if lowa[pb] and nwin[mqb, gc[pb]] > 1:
+                    s_total += svals[pb]
+                    s_count += 1
+        else:
+            pb = pa - maxw
+            if mq[pb] >= cfg.min_mapq:
+                mqb = 0
+            elif depth[pb] > 0:
+                mqb = 1
+            if lowa[pb] and nwin[mqb, gc[pb]] > 1:
+                s_total -= svals[pb]
+                s_count -= 1
+            if mq[pa] >= cfg.min_mapq:
+                mqi = 0
+            elif depth[pa] > 0:
+                mqi = 1
+            if lowa[pa] and nwin[mqi, gc[pa]] > 1:
+                s_total += svals[pa]
+                s_count += 1
+        if (s_count > 0 and win_std[maxw] > 0
+                and s_total / (s_count * win_std[maxw]) >= min_sd
+                and (maxw - s_count) / maxw <= max_low):
+            last_good = pa
+            c_end = pa
+            ts = s_total / (s_count * win_std[maxw])
+            if ts > c_sd:
+                c_sd = ts
+        pa += 1
+    return c_end, c_sd, last_good, mqi
+
+
+def _trim_phase(c_start, c_end, minw, mqi, mq, depth, lowa, sok0, sok1,
+                cfg, max_low):
+    """Trailing trim (src/GROM.c:19585-19660); bounded by the call length."""
+    pos = c_end
+    while pos > c_start + minw:
+        if mq[pos] >= cfg.min_mapq:
+            mqi = 0
+        elif depth[pos] > 0:
+            mqi = 1
+        sok = sok0 if mqi == 0 else sok1
+        if not sok[pos]:
+            pos -= 1
+            c_end = pos
+        else:
+            lc2 = 0
+            lc3 = 0
+            pa = c_end
+            mqa = mqi
+            stop_w = False
+            while pa > c_start + minw and not stop_w:
+                if lowa[pa]:
+                    if mq[pa] >= cfg.min_mapq:
+                        mqa = 0
+                    elif depth[pa] > 0:
+                        mqa = 1
+                    lc3 += 1
+                    soka = sok0 if mqa == 0 else sok1
+                    if soka[pa]:
+                        lc2 += 1
+                if (lc3 == 0 or (lc3 > 0 and lc2 / lc3 < 0.5)
+                        or (c_end - pa + 1 - lc3) / (c_end - pa + 1.0) > max_low):
+                    c_end = pa - 1
+                    stop_w = True
+                pa -= 1
+            pos = pa
+    return c_end, pos
+
+
+def _window_scan_ref(blocks, depth, mq, gc, nwin, low_acgt, stdev_list,
+                     thr, win_std, cfg, L, side: int) -> List[CnvCall]:
+    """The del (side=+1) / dup (side=-1) window growth scan, direct port
     (src/GROM.c:19358-19700 del, :19690-20035 dup). ``thr`` is the per
-    (class, gc) threshold; z totals are accumulated as side*z."""
+    (class, gc) threshold; z totals are accumulated as side*z. Kept as the
+    differential-test oracle for the vectorized :func:`_window_scan`."""
     minw = cfg.min_rd_window_len
     maxw = cfg.max_rd_window_len
     min_sd = 3.0  # g_one_base_read_depth_min_rd_low_stdev

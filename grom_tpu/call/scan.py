@@ -171,24 +171,30 @@ def _accumulate_rd_lists(arr, batch, eligible, cfg):
 
 def _accumulate_snv(arr, chrom, batch, eligible, cfg):
     """Per-base SNV tally (src/GROM.c:6757-6984): quality-split counts with
-    read-name dedup on high-quality mismatch bases."""
+    read-name dedup on high-quality mismatch bases.
+
+    Instead of per-nt subset bincounts, everything is folded into a handful
+    of composite-key bincounts over the full event stream: class*L+pos with a
+    dump row for gated-out events. Gating (eligibility, bounds, dedup-skip)
+    routes events to the dump row rather than copying the 10M+-element
+    arrays, which keeps this memory-bandwidth-bound rather than
+    allocation-bound."""
     rid, refpos, readidx = expand_spans(batch)
-    elig = eligible[rid]
-    rid, refpos, readidx = rid[elig], refpos[elig], readidx[elig]
-    inb = (refpos >= 0) & (refpos < arr.chr_len)
-    rid, refpos, readidx = rid[inb], refpos[inb], readidx[inb]
+    L = arr.chr_len
+    gate = eligible[rid] & (refpos >= 0) & (refpos < L)
+    pos = np.where(gate, refpos, np.int32(0))
 
     reads = batch.reads
-    flat = reads.seq_off[rid] + readidx
+    flat = reads.seq_off.astype(np.int32)[rid] + readidx
     base = reads.seq[flat]
     qual = reads.qual[flat].astype(np.int32)
     code = _CODE[base]
-    refcode = _CODE[chrom[refpos]]
     mapq = batch.mapq[rid]
     hi = (mapq >= cfg.min_mapq) & (qual >= cfg.min_base_qual)
     # mismatch per the reference: toupper(ref) != seq-byte (seq is upper ACGTN)
-    ref_upper = np.where((chrom[refpos] >= 97), chrom[refpos] - 32, chrom[refpos])
-    mismatch = ref_upper != base
+    refb = chrom[pos]
+    ref_upper = np.where(refb >= 97, refb - 32, refb)
+    mismatch = (ref_upper != base) & gate
 
     # --- read-name dedup on high-quality mismatch events (record order) ---
     skip = np.zeros(len(rid), dtype=bool)
@@ -220,44 +226,70 @@ def _accumulate_snv(arr, chrom, batch, eligible, cfg):
             elif len(sl) < max_slots:
                 if len(nm) < name_len_cap:
                     sl.append(nm)
-    counted_hi = hi & ~skip & (code >= 0)
-    lo = ~hi & (code >= 0)
+    counted_hi = gate & hi & ~skip & (code >= 0)
+    lo = gate & ~hi & (code >= 0)
 
-    L = arr.chr_len
+    # --- composite count bincount: rows 0-3 hi by nt, 4-7 lowmq by nt, 8 dump
+    code_c = np.maximum(code, np.int8(0))
+    cls = np.where(counted_hi, code_c,
+                   np.where(lo, code_c + np.int8(4), np.int8(8)))
+    kdt = np.int32 if 9 * L < 2**31 else np.int64
+    key = cls.astype(kdt)
+    key *= kdt(L)
+    key += pos
+    cnt = np.bincount(key, minlength=9 * L)[:8 * L].reshape(8, L)
+    snv_hi = cnt[:NT]
+    snv_lo = cnt[NT:]
+    arr.snv += snv_hi.astype(arr.snv.dtype)
+    arr.snv_lowmq += snv_lo.astype(arr.snv_lowmq.dtype)
+    # per-pos read counts are the per-class sums (code>=0 always here)
+    hi_cnt = snv_hi.sum(axis=0)
+    lo_cnt = snv_lo.sum(axis=0)
+    arr.bq_read_count += hi_cnt.astype(arr.bq_read_count.dtype)
+    arr.mq_read_count += hi_cnt.astype(arr.mq_read_count.dtype)
+    arr.read_count_all += (hi_cnt + lo_cnt).astype(arr.read_count_all.dtype)
+
+    # --- fstrand: composite over counted_hi & forward-strand events; all
+    # others collapse onto the single dump bin 4*L
     fwd = (batch.flag[rid] & FREVERSE) == 0
-    lseq = batch.lseq[rid]
+    key_f = np.where(counted_hi & fwd, key, kdt(4 * L))
+    cnt_f = np.bincount(key_f, minlength=4 * L + 1)[:4 * L].reshape(4, L)
+    arr.fstrand += cnt_f.astype(arr.fstrand.dtype)
 
-    def bincount_add(dst, idx, weights=None):
-        if weights is None:
-            dst += np.bincount(idx, minlength=L).astype(dst.dtype)[:L]
-        else:
-            dst += np.bincount(idx, weights=weights, minlength=L).astype(dst.dtype)[:L]
+    # --- qual/mapq sums, packed: one weighted bincount carries both, with
+    # qual in the low 26 bits and mapq above (exact in f64 while per-key
+    # qual sums stay < 2^26 — guaranteed by the count guard below)
+    PACK = 67108864.0  # 2^26
+    if int(cnt.max(initial=0)) < (1 << 24) // 256:
+        wqm = mapq.astype(np.float64)
+        wqm *= PACK
+        wqm += qual
+        s = np.bincount(key, weights=wqm, minlength=9 * L)[:8 * L].reshape(8, L)
+        m_sum = np.floor_divide(s, PACK)
+        q_sum = s - m_sum * PACK
+        bq_hi = q_sum[:NT].sum(axis=0)
+        bq_lo = q_sum[NT:].sum(axis=0)
+        mq_hi = m_sum[:NT].sum(axis=0)
+        mq_lo = m_sum[NT:].sum(axis=0)
+    else:  # pathological pileup: unpacked (exact) path
+        bq_hi = np.bincount(pos, weights=np.where(counted_hi, qual, 0),
+                            minlength=L)[:L]
+        bq_lo = np.bincount(pos, weights=np.where(lo, qual, 0),
+                            minlength=L)[:L]
+        mq_hi = np.bincount(pos, weights=np.where(counted_hi, mapq, 0),
+                            minlength=L)[:L]
+        mq_lo = np.bincount(pos, weights=np.where(lo, mapq, 0),
+                            minlength=L)[:L]
+    arr.bq += bq_hi.astype(arr.bq.dtype)
+    arr.bq_all += (bq_hi + bq_lo).astype(arr.bq_all.dtype)
+    arr.mq += mq_hi.astype(arr.mq.dtype)
+    arr.mq_all += (mq_hi + mq_lo).astype(arr.mq_all.dtype)
 
-    hi_i = np.flatnonzero(counted_hi)
-    for nt in range(NT):
-        sel = hi_i[code[hi_i] == nt]
-        bincount_add(arr.snv[nt], refpos[sel])
-        # pos-in-read: match bases use strand-dependent index, mismatch bases
-        # use the raw read index for both strands (src/GROM.c:6846-6870 vs 6900)
-        m_sel = sel[~mismatch[sel]]
-        x_sel = sel[mismatch[sel]]
-        pir_m = np.where(fwd[m_sel], readidx[m_sel], lseq[m_sel] - readidx[m_sel])
-        bincount_add(arr.pos_in_read[nt], refpos[m_sel], pir_m)
-        bincount_add(arr.pos_in_read[nt], refpos[x_sel], readidx[x_sel])
-        f_sel = sel[fwd[sel]]
-        bincount_add(arr.fstrand[nt], refpos[f_sel])
-    bincount_add(arr.bq, refpos[hi_i], qual[hi_i])
-    bincount_add(arr.bq_all, refpos[hi_i], qual[hi_i])
-    bincount_add(arr.mq, refpos[hi_i], mapq[hi_i])
-    bincount_add(arr.mq_all, refpos[hi_i], mapq[hi_i])
-    bincount_add(arr.bq_read_count, refpos[hi_i])
-    bincount_add(arr.mq_read_count, refpos[hi_i])
-    bincount_add(arr.read_count_all, refpos[hi_i])
-
-    lo_i = np.flatnonzero(lo)
-    for nt in range(NT):
-        sel = lo_i[code[lo_i] == nt]
-        bincount_add(arr.snv_lowmq[nt], refpos[sel])
-    bincount_add(arr.bq_all, refpos[lo_i], qual[lo_i])
-    bincount_add(arr.mq_all, refpos[lo_i], mapq[lo_i])
-    bincount_add(arr.read_count_all, refpos[lo_i])
+    # --- pos-in-read: match bases use the strand-dependent index, mismatch
+    # bases the raw read index for both strands (src/GROM.c:6846-6870 vs 6900)
+    lseq = batch.lseq.astype(np.int32)[rid]
+    pir = np.where(mismatch | fwd, readidx, lseq - readidx)
+    # non-counted events carry cls>=4 and land in rows sliced away below
+    pir_sum = np.bincount(key, weights=pir,
+                          minlength=9 * L)[:NT * L].reshape(NT, L)
+    arr.pos_in_read += pir_sum.astype(arr.pos_in_read.dtype)

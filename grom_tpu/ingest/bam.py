@@ -154,10 +154,73 @@ def decode_header(data: bytes) -> Tuple[BamHeader, int]:
     return BamHeader(text, names, lengths), off
 
 
+def _decode_records_native(data: bytes, start: int, end: int,
+                           want_names: bool, want_sa: bool
+                           ) -> Optional[RawReads]:
+    """Native two-pass record decode (native/grom_native.c); returns None
+    when the native library is unavailable."""
+    from grom_tpu.native import get_lib
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+    totals = np.zeros(4, np.int64)
+    R = lib.gn_bam_count(data, start, end,
+                         totals.ctypes.data_as(ctypes.c_void_p),
+                         1 if want_sa else 0)
+    if R < 0:
+        return None
+    R = int(R)
+    tc, ts, tn, tsa = (int(x) for x in totals)
+    refid = np.empty(R, np.int32)
+    pos = np.empty(R, np.int32)
+    mapq = np.empty(R, np.uint8)
+    flag = np.empty(R, np.uint16)
+    mrefid = np.empty(R, np.int32)
+    mpos = np.empty(R, np.int32)
+    tlen = np.empty(R, np.int32)
+    lseq = np.empty(R, np.int32)
+    cigar = np.empty(tc, np.uint32)
+    cigar_off = np.empty(R + 1, np.int64)
+    seq = np.empty(ts, np.uint8)
+    qual = np.empty(ts, np.uint8)
+    seq_off = np.empty(R + 1, np.int64)
+    names_buf = np.empty(tn if want_names else 0, np.uint8)
+    name_off = np.empty(R + 1, np.int64)
+    sa_buf = np.empty(tsa, np.uint8)
+    sa_off = np.empty(R + 1, np.int64)
+    sa_len = np.empty(R, np.int32)
+    v = ctypes.c_void_p
+    arrs = [refid, pos, mapq, flag, mrefid, mpos, tlen, lseq, cigar,
+            cigar_off, seq, qual, seq_off, names_buf, name_off]
+    r2 = lib.gn_bam_fill(data, start, end,
+                         *[a.ctypes.data_as(v) for a in arrs],
+                         sa_buf.ctypes.data_as(v), sa_off.ctypes.data_as(v),
+                         sa_len.ctypes.data_as(v),
+                         1 if want_names else 0, 1 if want_sa else 0)
+    if int(r2) != R:
+        return None
+    if want_names and R:
+        # each name is NUL-terminated in the flat buffer
+        names = names_buf.tobytes()[:-1].split(b"\x00") if tn else [b""] * R
+    else:
+        names = []
+    sa_tags: List[Optional[bytes]] = [None] * R
+    if want_sa and tsa:
+        sab = sa_buf.tobytes()
+        for i in np.flatnonzero(sa_len >= 0):
+            sa_tags[i] = sab[sa_off[i]:sa_off[i + 1]]
+    return RawReads(refid, pos, mapq, flag, mrefid, mpos, tlen, lseq,
+                    cigar, cigar_off, seq, qual, seq_off, list(names), sa_tags)
+
+
 def decode_records(data: bytes, start: int, end: Optional[int] = None,
                    want_names: bool = True, want_sa: bool = True) -> RawReads:
     """Decode records from flat decompressed BAM bytes in [start, end)."""
     end = len(data) if end is None else end
+    native = _decode_records_native(data, start, end, want_names, want_sa)
+    if native is not None:
+        return native
     mv = memoryview(data)
     offsets: List[int] = []
     off = start

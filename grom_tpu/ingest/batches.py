@@ -201,12 +201,23 @@ def build_batch(reads: RawReads, refid: int, min_mapq: int = 20,
 
 def expand_spans(batch: ReadBatch) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Expand M spans into per-base (read_idx, ref_pos, read_base_idx) arrays
-    (all int64, one entry per aligned base, in record/cigar order)."""
-    lens = batch.span_len
+    (all int32, one entry per aligned base, in record/cigar order).
+
+    Uses segment-id cumsum + sequential gathers instead of np.repeat — the
+    repeat path pays per-segment overhead on millions of short spans."""
+    lens = batch.span_len.astype(np.int64)
     total = int(lens.sum())
-    rid = np.repeat(batch.span_read.astype(np.int64), lens)
-    within = np.arange(total, dtype=np.int64) - np.repeat(
-        np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
-    refpos = np.repeat(batch.span_ref, lens) + within
-    readidx = np.repeat(batch.span_readoff, lens) + within
+    nspan = len(lens)
+    if total == 0 or nspan == 0:
+        z = np.empty(0, np.int32)
+        return z, z.copy(), z.copy()
+    starts = np.zeros(nspan, np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    segd = np.zeros(total, np.int32)
+    segd[starts[1:]] = 1
+    seg = np.cumsum(segd, dtype=np.int32)          # span id per base
+    rid = batch.span_read.astype(np.int32)[seg]
+    within = np.arange(total, dtype=np.int32) - starts.astype(np.int32)[seg]
+    refpos = batch.span_ref.astype(np.int32)[seg] + within
+    readidx = batch.span_readoff.astype(np.int32)[seg] + within
     return rid, refpos, readidx

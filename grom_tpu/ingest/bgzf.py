@@ -58,7 +58,14 @@ def read_bgzf(path: str) -> Tuple[bytes, np.ndarray]:
     (compressed_offset, uncompressed_offset) per block, plus a final sentinel
     row (file_size, len(data)). Virtual offset (co, uo) maps to flat offset
     uncompressed_offset[block_at(co)] + uo.
+
+    Uses the native multithreaded inflater when available (block-parallel —
+    BGZF blocks are independent deflate streams); falls back to the
+    pure-Python path otherwise.
     """
+    native = _read_bgzf_native(path)
+    if native is not None:
+        return native
     chunks: List[bytes] = []
     coffs: List[int] = []
     uoffs: List[int] = []
@@ -79,6 +86,44 @@ def read_bgzf(path: str) -> Tuple[bytes, np.ndarray]:
         uoffs.append(uoff)
     blocks = np.stack([np.array(coffs, dtype=np.int64), np.array(uoffs, dtype=np.int64)], axis=1)
     return b"".join(chunks), blocks
+
+
+def _read_bgzf_native(path: str) -> Tuple[bytes, np.ndarray] | None:
+    from grom_tpu.native import get_lib
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+    import os
+    with open(path, "rb") as f:
+        src = f.read()
+    srclen = len(src)
+    cap = max(srclen // 1024, 64)  # blocks are >= ~1KB in practice
+    while True:
+        coff = np.empty(cap, np.int64)
+        usize = np.empty(cap, np.int64)
+        n = lib.gn_bgzf_scan(src, srclen, coff.ctypes.data_as(ctypes.c_void_p),
+                             usize.ctypes.data_as(ctypes.c_void_p), cap)
+        if n == -2:
+            cap *= 2
+            continue
+        if n < 0:
+            return None  # malformed; let the Python path raise precisely
+        break
+    coff = coff[:n]
+    uoff = np.zeros(n + 1, np.int64)
+    np.cumsum(usize[:n], out=uoff[1:])
+    total = int(uoff[-1])
+    dst = np.empty(total, np.uint8)
+    nthreads = min(os.cpu_count() or 1, 16)
+    rc = lib.gn_bgzf_inflate(src, srclen,
+                             coff.ctypes.data_as(ctypes.c_void_p),
+                             uoff.ctypes.data_as(ctypes.c_void_p), n,
+                             dst.ctypes.data_as(ctypes.c_void_p), nthreads)
+    if rc != 0:
+        return None
+    blocks = np.stack([np.concatenate([coff, [srclen]]), uoff], axis=1)
+    return dst.tobytes(), blocks
 
 
 def iter_bgzf_blocks(path: str) -> Iterator[Tuple[int, int, bytes]]:

@@ -1,0 +1,79 @@
+"""ctypes bindings for the native ingest kernels (native/grom_native.c).
+
+The shared library is built on first use with the in-tree Makefile (cc + zlib
++ pthreads — all baked into the image). Every entry point has a pure-Python
+fallback in the ingest layer, so a missing toolchain only costs speed. This
+mirrors the reference's split between its C IO layer (vendored htslib,
+src/GROM.c:26) and its callers.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC_DIR = os.path.join(_REPO, "native")
+_SO = os.path.join(_SRC_DIR, "_grom_native.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_c_long_p = ctypes.POINTER(ctypes.c_long)
+_u8_p = ctypes.POINTER(ctypes.c_uint8)
+
+
+def _build() -> bool:
+    src = os.path.join(_SRC_DIR, "grom_native.c")
+    if not os.path.exists(src):
+        return False
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(src):
+        return True
+    try:
+        r = subprocess.run(["make", "-C", _SRC_DIR, "-s"],
+                           capture_output=True, timeout=120)
+        return r.returncode == 0 and os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    L = ctypes.c_long
+    I = ctypes.c_int
+    P = ctypes.c_void_p
+    lib.gn_bgzf_scan.restype = L
+    lib.gn_bgzf_scan.argtypes = [P, L, P, P, L]
+    lib.gn_bgzf_inflate.restype = I
+    lib.gn_bgzf_inflate.argtypes = [P, L, P, P, L, P, I]
+    lib.gn_bam_count.restype = L
+    lib.gn_bam_count.argtypes = [P, L, L, P, I]
+    lib.gn_bam_fill.restype = L
+    lib.gn_bam_fill.argtypes = [P, L, L] + [P] * 18 + [I, I]
+    return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The native library, building it if needed; None when unavailable or
+    disabled via GROM_TPU_NO_NATIVE=1."""
+    global _lib, _tried
+    if _lib is not None:
+        return _lib
+    if _tried:
+        return None
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("GROM_TPU_NO_NATIVE") == "1":
+            return None
+        if not _build():
+            return None
+        try:
+            _lib = _bind(ctypes.CDLL(_SO))
+        except OSError:
+            _lib = None
+    return _lib

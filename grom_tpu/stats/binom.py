@@ -190,9 +190,39 @@ def _upper_tail_table(p: float, max_trials: int, normal_min_successes: int,
     return table
 
 
+_CACHE_DIR = os.path.join(os.path.expanduser("~"), ".cache", "grom_tpu")
+
+
+def _disk_cached(name: str, builder):
+    """Binary .npy cache of a table (the reference caches %e text next to its
+    binary, src/GROM.c:21331; we keep a lossless .npy in ~/.cache)."""
+    path = os.path.join(_CACHE_DIR, name + ".npy")
+    try:
+        if os.path.exists(path):
+            t = np.load(path)
+            if t.shape[0] == t.shape[1]:
+                return t
+    except Exception:
+        pass
+    t = builder()
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        tmp = "%s.tmp%d.npy" % (path, os.getpid())
+        np.save(tmp, t)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+    return t
+
+
 @lru_cache(maxsize=4)
 def build_hez_table(max_trials: int = 1000) -> np.ndarray:
     """p=0.5 table; after the post-pass holds P(X <= k) (src/GROM.c:21310-21329)."""
+    return _disk_cached(f"hez_{max_trials}",
+                        lambda: _build_hez_table_uncached(max_trials))
+
+
+def _build_hez_table_uncached(max_trials: int = 1000) -> np.ndarray:
     t = _upper_tail_table(0.5, max_trials, normal_min_successes=17,
                           mq_row_shortcut=False)
     size = max_trials + 1
@@ -214,9 +244,11 @@ def build_hez_table(max_trials: int = 1000) -> np.ndarray:
 @lru_cache(maxsize=8)
 def build_mq_table(min_mapq: int = 20, max_trials: int = 1000) -> np.ndarray:
     """p=10^(-q/10) table holding P(X >= k) with the row-stall shortcut."""
-    p = 10.0 ** (-min_mapq / 10.0)
-    return _upper_tail_table(p, max_trials, normal_min_successes=20,
-                             mq_row_shortcut=True)
+    def build():
+        p = 10.0 ** (-min_mapq / 10.0)
+        return _upper_tail_table(p, max_trials, normal_min_successes=20,
+                                 mq_row_shortcut=True)
+    return _disk_cached(f"mq_{min_mapq}_{max_trials}", build)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,352 @@
+/* grom_tpu native ingest kernels.
+ *
+ * The reference links vendored htslib for BGZF/BAM IO (src/GROM.c:26-27 and
+ * src/sam.c); this is our independent TPU-host equivalent: a multithreaded
+ * BGZF inflater and a two-pass BAM record decoder that fills caller-allocated
+ * struct-of-arrays buffers (numpy arrays on the Python side, via ctypes).
+ *
+ * Build: make -C native   (cc -O3 -shared -fPIC ... -lz -lpthread)
+ */
+
+#include <pthread.h>
+#include <stdint.h>
+#include <string.h>
+#include <zlib.h>
+
+#define GN_API __attribute__((visibility("default")))
+
+/* ------------------------------------------------------------------ */
+/* BGZF                                                               */
+/* ------------------------------------------------------------------ */
+
+/* Scan BGZF block headers. Fills coff[i] (compressed offset) and
+ * usize[i] (uncompressed size) for up to cap blocks. Returns the block
+ * count, or -1 on malformed input, or -2 if cap is too small. */
+GN_API long gn_bgzf_scan(const uint8_t *src, long srclen,
+                         long *coff, long *usize, long cap) {
+    long off = 0, n = 0;
+    while (off + 18 <= srclen) {
+        if (src[off] != 0x1f || src[off + 1] != 0x8b)
+            return -1;
+        unsigned xlen = (unsigned)src[off + 10] | ((unsigned)src[off + 11] << 8);
+        if (off + 12 + (long)xlen > srclen)
+            return -1;
+        long bsize = -1;
+        const uint8_t *extra = src + off + 12;
+        unsigned eo = 0;
+        while (eo + 4 <= xlen) {
+            unsigned si1 = extra[eo], si2 = extra[eo + 1];
+            unsigned slen = (unsigned)extra[eo + 2] | ((unsigned)extra[eo + 3] << 8);
+            if (si1 == 66 && si2 == 67 && slen == 2) {
+                bsize = ((long)extra[eo + 4] | ((long)extra[eo + 5] << 8)) + 1;
+                break;
+            }
+            eo += 4 + slen;
+        }
+        if (bsize < 0 || off + bsize > srclen)
+            return -1;
+        uint32_t isize;
+        memcpy(&isize, src + off + bsize - 4, 4);
+        if (n >= cap)
+            return -2;
+        coff[n] = off;
+        usize[n] = (long)isize;
+        n++;
+        off += bsize;
+    }
+    return (off == srclen) ? n : -1;
+}
+
+typedef struct {
+    const uint8_t *src;
+    const long *coff;
+    const long *uoff;   /* prefix sums of usize, length nblocks+1 */
+    long nblocks;
+    uint8_t *dst;
+    long lo, hi;        /* block range for this worker */
+    int rc;
+} inflate_job_t;
+
+static int inflate_one(const uint8_t *src, long coff, uint8_t *dst, long dcap) {
+    unsigned xlen = (unsigned)src[coff + 10] | ((unsigned)src[coff + 11] << 8);
+    const uint8_t *cdata = src + coff + 12 + xlen;
+    /* compressed payload runs to bsize-12-xlen-8; recompute bsize from BC */
+    const uint8_t *extra = src + coff + 12;
+    long bsize = -1;
+    unsigned eo = 0;
+    while (eo + 4 <= xlen) {
+        unsigned slen = (unsigned)extra[eo + 2] | ((unsigned)extra[eo + 3] << 8);
+        if (extra[eo] == 66 && extra[eo + 1] == 67 && slen == 2) {
+            bsize = ((long)extra[eo + 4] | ((long)extra[eo + 5] << 8)) + 1;
+            break;
+        }
+        eo += 4 + slen;
+    }
+    if (bsize < 0)
+        return -1;
+    long clen = bsize - 12 - (long)xlen - 8;
+    if (dcap == 0)
+        return 0;
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, -15) != Z_OK)
+        return -2;
+    zs.next_in = (uint8_t *)cdata;
+    zs.avail_in = (uInt)clen;
+    zs.next_out = dst;
+    zs.avail_out = (uInt)dcap;
+    int zrc = inflate(&zs, Z_FINISH);
+    inflateEnd(&zs);
+    if (zrc != Z_STREAM_END || (long)zs.total_out != dcap)
+        return -3;
+    return 0;
+}
+
+static void *inflate_worker(void *arg) {
+    inflate_job_t *j = (inflate_job_t *)arg;
+    for (long b = j->lo; b < j->hi; b++) {
+        int rc = inflate_one(j->src, j->coff[b], j->dst + j->uoff[b],
+                             j->uoff[b + 1] - j->uoff[b]);
+        if (rc != 0) {
+            j->rc = rc;
+            return NULL;
+        }
+    }
+    j->rc = 0;
+    return NULL;
+}
+
+/* Inflate all blocks in parallel. uoff has nblocks+1 entries (prefix sums).
+ * Returns 0 on success. */
+GN_API int gn_bgzf_inflate(const uint8_t *src, long srclen,
+                           const long *coff, const long *uoff, long nblocks,
+                           uint8_t *dst, int nthreads) {
+    (void)srclen;
+    if (nthreads < 1)
+        nthreads = 1;
+    if (nthreads > 64)
+        nthreads = 64;
+    if (nthreads > nblocks)
+        nthreads = nblocks > 0 ? (int)nblocks : 1;
+    pthread_t tids[64];
+    inflate_job_t jobs[64];
+    long per = (nblocks + nthreads - 1) / nthreads;
+    int started = 0;
+    for (int t = 0; t < nthreads; t++) {
+        jobs[t].src = src;
+        jobs[t].coff = coff;
+        jobs[t].uoff = uoff;
+        jobs[t].nblocks = nblocks;
+        jobs[t].dst = dst;
+        jobs[t].lo = t * per;
+        jobs[t].hi = (t + 1) * per < nblocks ? (t + 1) * per : nblocks;
+        jobs[t].rc = 0;
+        if (jobs[t].lo >= jobs[t].hi)
+            break;
+        if (pthread_create(&tids[t], NULL, inflate_worker, &jobs[t]) != 0) {
+            /* fall back to inline execution of this shard */
+            inflate_worker(&jobs[t]);
+            tids[t] = 0;
+        }
+        started++;
+    }
+    int rc = 0;
+    for (int t = 0; t < started; t++) {
+        if (tids[t])
+            pthread_join(tids[t], NULL);
+        if (jobs[t].rc != 0)
+            rc = jobs[t].rc;
+    }
+    return rc;
+}
+
+/* ------------------------------------------------------------------ */
+/* BAM records                                                        */
+/* ------------------------------------------------------------------ */
+
+static const char NT16[16] = "=ACMGRSVTWYHKDBN";
+
+static inline int32_t rd_i32(const uint8_t *p) {
+    int32_t v;
+    memcpy(&v, p, 4);
+    return v;
+}
+static inline uint32_t rd_u32(const uint8_t *p) {
+    uint32_t v;
+    memcpy(&v, p, 4);
+    return v;
+}
+static inline uint16_t rd_u16(const uint8_t *p) {
+    uint16_t v;
+    memcpy(&v, p, 2);
+    return v;
+}
+
+/* Find the SA:Z / XP:Z payload inside one record's aux block.
+ * XP is preferred over SA (src/GROM.c:5757-5824). Returns payload length
+ * and sets *out, or -1 if absent. */
+static long find_sa(const uint8_t *aux, long n, const uint8_t **out) {
+    const uint8_t *sa = NULL, *xp = NULL;
+    long sal = 0, xpl = 0;
+    long i = 0;
+    while (i + 3 <= n) {
+        uint8_t t0 = aux[i], t1 = aux[i + 1], typ = aux[i + 2];
+        i += 3;
+        switch (typ) {
+        case 'A': case 'c': case 'C':
+            i += 1;
+            break;
+        case 's': case 'S':
+            i += 2;
+            break;
+        case 'i': case 'I': case 'f':
+            i += 4;
+            break;
+        case 'Z': case 'H': {
+            long j = i;
+            while (j < n && aux[j] != 0)
+                j++;
+            if (t0 == 'S' && t1 == 'A') {
+                sa = aux + i;
+                sal = j - i;
+            } else if (t0 == 'X' && t1 == 'P') {
+                xp = aux + i;
+                xpl = j - i;
+            }
+            i = j + 1;
+            break;
+        }
+        case 'B': {
+            if (i + 5 > n)
+                return xp ? (*out = xp, xpl) : (sa ? (*out = sa, sal) : -1);
+            uint8_t sub = aux[i];
+            uint32_t cnt = rd_u32(aux + i + 1);
+            long size = (sub == 'c' || sub == 'C') ? 1
+                      : (sub == 's' || sub == 'S') ? 2 : 4;
+            i += 5 + (long)cnt * size;
+            break;
+        }
+        default:
+            goto done;
+        }
+    }
+done:
+    if (xp) {
+        *out = xp;
+        return xpl;
+    }
+    if (sa) {
+        *out = sa;
+        return sal;
+    }
+    return -1;
+}
+
+/* Pass 1: count records and payload totals in data[start:end).
+ * totals[0]=cigar ops, [1]=seq bases, [2]=name bytes (incl NUL),
+ * [3]=SA payload bytes. Returns record count or -1 on truncation. */
+GN_API long gn_bam_count(const uint8_t *data, long start, long end,
+                         long *totals, int want_sa) {
+    long off = start, R = 0;
+    long tc = 0, ts = 0, tn = 0, tsa = 0;
+    while (off + 4 <= end) {
+        uint32_t bs = rd_u32(data + off);
+        if (off + 4 + (long)bs > end)
+            break;
+        const uint8_t *r = data + off + 4;
+        uint8_t lrn = r[8];
+        uint16_t nc = rd_u16(r + 12);
+        int32_t ls = rd_i32(r + 16);
+        tc += nc;
+        ts += ls;
+        tn += lrn;
+        if (want_sa) {
+            long p = 32 + lrn + 4L * nc + (ls + 1) / 2 + ls;
+            if (p < (long)bs) {
+                const uint8_t *payload;
+                long pl = find_sa(r + p, (long)bs - p, &payload);
+                if (pl >= 0)
+                    tsa += pl;
+            }
+        }
+        R++;
+        off += 4 + bs;
+    }
+    totals[0] = tc;
+    totals[1] = ts;
+    totals[2] = tn;
+    totals[3] = tsa;
+    return R;
+}
+
+/* Pass 2: fill caller-allocated arrays. *_off arrays have R+1 entries and
+ * are written here (starting at 0). sa_len[i] = -1 when absent.
+ * Returns the record count again (must equal pass 1). */
+GN_API long gn_bam_fill(const uint8_t *data, long start, long end,
+                        int32_t *refid, int32_t *pos, uint8_t *mapq,
+                        uint16_t *flag, int32_t *mrefid, int32_t *mpos,
+                        int32_t *tlen, int32_t *lseq,
+                        uint32_t *cigar, int64_t *cigar_off,
+                        uint8_t *seq, uint8_t *qual, int64_t *seq_off,
+                        uint8_t *names, int64_t *name_off,
+                        uint8_t *sa, int64_t *sa_off, int32_t *sa_len,
+                        int want_names, int want_sa) {
+    long off = start, R = 0;
+    int64_t co = 0, so = 0, no = 0, ao = 0;
+    cigar_off[0] = 0;
+    seq_off[0] = 0;
+    name_off[0] = 0;
+    sa_off[0] = 0;
+    while (off + 4 <= end) {
+        uint32_t bs = rd_u32(data + off);
+        if (off + 4 + (long)bs > end)
+            break;
+        const uint8_t *r = data + off + 4;
+        refid[R] = rd_i32(r);
+        pos[R] = rd_i32(r + 4);
+        uint8_t lrn = r[8];
+        mapq[R] = r[9];
+        uint16_t nc = rd_u16(r + 12);
+        flag[R] = rd_u16(r + 14);
+        int32_t ls = rd_i32(r + 16);
+        lseq[R] = ls;
+        mrefid[R] = rd_i32(r + 20);
+        mpos[R] = rd_i32(r + 24);
+        tlen[R] = rd_i32(r + 28);
+        long p = 32;
+        if (want_names) {
+            memcpy(names + no, r + p, lrn);  /* includes trailing NUL */
+            no += lrn;
+        }
+        name_off[R + 1] = no;
+        p += lrn;
+        memcpy(cigar + co, r + p, 4L * nc);
+        co += nc;
+        cigar_off[R + 1] = co;
+        p += 4L * nc;
+        const uint8_t *packed = r + p;
+        for (int32_t k = 0; k < ls; k++) {
+            uint8_t b = packed[k >> 1];
+            seq[so + k] = (uint8_t)NT16[(k & 1) ? (b & 0xF) : (b >> 4)];
+        }
+        p += (ls + 1) / 2;
+        memcpy(qual + so, r + p, ls);
+        p += ls;
+        so += ls;
+        seq_off[R + 1] = so;
+        sa_len[R] = -1;
+        if (want_sa && p < (long)bs) {
+            const uint8_t *payload;
+            long pl = find_sa(r + p, (long)bs - p, &payload);
+            if (pl >= 0) {
+                memcpy(sa + ao, payload, pl);
+                ao += pl;
+                sa_len[R] = (int32_t)pl;
+            }
+        }
+        sa_off[R + 1] = ao;
+        R++;
+        off += 4 + bs;
+    }
+    return R;
+}
