@@ -1225,15 +1225,29 @@ def sd_to_pvalue(sd: float) -> float:
 
 def format_cnv_rows(chr_name: str, dels: List[CnvCall], dups: List[CnvCall],
                     cfg: GromConfig) -> List[str]:
+    """CNV emission (src/GROM.c:17344-17470). In tabular mode each section
+    (DEL, then DUP) is preceded by its own column-header line — printed even
+    when the section is empty (src/GROM.c:17247, :17380) — and rows use
+    "DEL RD"/"DUP RD" type tags with 0-based coordinates and %e copy
+    numbers (src/GROM.c:17364, :17419)."""
+    from grom_tpu.vcfio.tabular import CNV_HEADER
     rows = []
     for lst, tag in ((dels, "DEL"), (dups, "DUP")):
+        if not cfg.vcf_output:
+            rows.append(CNV_HEADER)
         for c in lst:
             c.pvalue = sd_to_pvalue(c.stdev)
         for c in lst:
             if c.pvalue < cfg.rd_pval_threshold:
-                rows.append("%s\t%d\t.\t.\t<%s>\t.\t.\tEND=%d\tSD:Z:CN:CS\t%e:%e:%.2f:%e"
-                            % (chr_name, c.start + 1, tag, c.end + 1, c.stdev,
-                               c.pvalue, c.cn, c.cn_stdev))
+                if not cfg.vcf_output:
+                    rows.append("%s RD\t%s\t%d\t%d\t%e\t%e\t%e\t%e"
+                                % (tag, chr_name, c.start, c.end, c.stdev,
+                                   c.pvalue, c.cn, c.cn_stdev))
+                else:
+                    rows.append(
+                        "%s\t%d\t.\t.\t<%s>\t.\t.\tEND=%d\tSD:Z:CN:CS\t%e:%e:%.2f:%e"
+                        % (chr_name, c.start + 1, tag, c.end + 1, c.stdev,
+                           c.pvalue, c.cn, c.cn_stdev))
     return rows
 
 

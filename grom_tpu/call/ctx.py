@@ -161,17 +161,31 @@ def write_ctx_vcf(path: str, ctx_lines: List[str], bam_chr_names: List[str],
     if drv is not None:
         merge_ctx(records, cfg, drv)
     with open(path, "w") as f:
-        f.write(ctx_vcf_header(reference_path or cfg.ref_fasta, file_date))
+        if cfg.vcf_output:
+            f.write(ctx_vcf_header(reference_path or cfg.ref_fasta, file_date))
+        else:
+            from grom_tpu.vcfio.tabular import CTX_HEADER
+            f.write(CTX_HEADER + "\n")
         count = 0
         for b, rec in enumerate(records):
             if not rec.matched:
                 continue
             count += 1
-            f.write("%s\t%d\t%d\tN\t%s\t.\t.\tSVTYPE=BND;MATEID=%d\t"
-                    "SPR:SEV:SRD:SCO:SOT:SFR:SLR:SHPR\t"
-                    "%e:%.1f:%d:%d:%d:%d:%d:%e\n"
-                    % (names_lower[rec.chrom], rec.pos + 1, b,
-                       bnd_alt(rec, names_lower), rec.mateid, rec.binom,
-                       rec.ev, rec.rd, rec.conc, rec.other_len,
-                       rec.read_start + 1, rec.read_end + 1, rec.hez))
+            if cfg.vcf_output:
+                f.write("%s\t%d\t%d\tN\t%s\t.\t.\tSVTYPE=BND;MATEID=%d\t"
+                        "SPR:SEV:SRD:SCO:SOT:SFR:SLR:SHPR\t"
+                        "%e:%.1f:%d:%d:%d:%d:%d:%e\n"
+                        % (names_lower[rec.chrom], rec.pos + 1, b,
+                           bnd_alt(rec, names_lower), rec.mateid, rec.binom,
+                           rec.ev, rec.rd, rec.conc, rec.other_len,
+                           rec.read_start + 1, rec.read_end + 1, rec.hez))
+            else:
+                # tabular final row (src/GROM.c:22734): 0-based, signed mpos
+                f.write("%s\t%s\t%d\t%d\t%d\t%e\t%.1f\t%d\t%d\t%d\t%s\t%d\t"
+                        "%d\t%d\t%e\n"
+                        % ("CTX_F" if rec.type == CTX_F_TYPE else "CTX_R",
+                           names_lower[rec.chrom], rec.pos, b, rec.mateid,
+                           rec.binom, rec.ev, rec.rd, rec.conc,
+                           rec.other_len, names_lower[rec.mchr], rec.mpos,
+                           rec.read_start, rec.read_end, rec.hez))
     return count

@@ -257,6 +257,13 @@ def format_indel_rows(chrom: np.ndarray, chr_name: str,
         hp = _homopolymer_ins(chrom, c.start)
         if hp > cfg.max_homopolymer:
             continue
+        if not cfg.vcf_output:
+            # tabular (src/GROM.c:16342): raw end (-1, never set), hez CDF
+            rows.append(
+                "INDEL_INS\t%s\t%d\t%d\t%d\t%e\t%e\t%d\t%d\t%d\t%d\t%d\t%d\t%d\t%d"
+                % (chr_name, c.start, -1, c.dist, c.binom, c.hez, c.conc, 0,
+                   c.other_len, 0, c.i, c.rd, c.sc, hp))
+            continue
         if c.dist <= cfg.indel_i_seq_len and c.seq is not None:
             alt = c.seq[:c.dist].decode()
         else:
@@ -280,6 +287,17 @@ def format_indel_rows(chrom: np.ndarray, chr_name: str,
             continue
         hp = _homopolymer_del(chrom, c.start, c.end)
         if hp > cfg.max_homopolymer:
+            continue
+        if not cfg.vcf_output:
+            # tabular (src/GROM.c:16490): explicit length, hez CDFs, hp last
+            rows.append(
+                "INDEL_DEL\t%s\t%d\t%d\t%d\t%e\t%e\t%d\t%d\t%d\t%d\t%d\t%d\t"
+                "%d\t%d\t%d\t%d\t%e\t%e\t%d"
+                % (chr_name, c.start, c.end, c.end - c.start + 1,
+                   c.start_binom, c.end_binom, c.start_conc, c.end_conc,
+                   c.start_other_len, c.end_other_len, c.f, c.r,
+                   c.start_rd, c.end_rd, c.start_sc, c.end_sc,
+                   c.start_hez, c.end_hez, hp))
             continue
         n = c.end - c.start + 1
         if 0 < n < gt_cap - 1:

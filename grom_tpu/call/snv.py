@@ -186,10 +186,18 @@ def genotype_string(ratio: float, ploidy: int) -> str:
 
 
 def format_snv_rows(cand: SnvCandidates, keep: np.ndarray, chrom: np.ndarray,
-                    chr_name: str, cfg: GromConfig) -> List[str]:
+                    chr_name: str, cfg: GromConfig,
+                    lseq: int = 0) -> List[str]:
     """Exact reference VCF rows (src/GROM.c:15072, same format at :11254):
     note the empty ID column (two consecutive tabs) and REF preserving FASTA
-    case."""
+    case. With -f (cfg.vcf_output False) emits the tabular format instead
+    (src/GROM.c:11271-11320): 0-based position, never-written rd columns
+    (always 0 — the reference prints malloc'd-but-unfilled arrays, which
+    large-allocation zero pages make deterministic), tri-nucleotide context,
+    and an lseq+lseq-1 flank string whose right half prints REVERSED with the
+    reference's off-by-one N at index len-1."""
+    if not cfg.vcf_output:
+        return _format_snv_tabular(cand, keep, chrom, chr_name, cfg, lseq)
     rows = []
     for i in np.flatnonzero(keep):
         p = int(cand.pos[i])
@@ -209,4 +217,50 @@ def format_snv_rows(cand: SnvCandidates, keep: np.ndarray, chrom: np.ndarray,
                cand.counts[0, i], cand.counts[1, i], cand.counts[2, i], cand.counts[3, i],
                cand.lowmq[0, i], cand.lowmq[1, i], cand.lowmq[2, i], cand.lowmq[3, i],
                bq_mean, mq_mean, pir, fs))
+    return rows
+
+
+def _format_snv_tabular(cand: SnvCandidates, keep: np.ndarray,
+                        chrom: np.ndarray, chr_name: str, cfg: GromConfig,
+                        lseq: int) -> List[str]:
+    """Tabular SNV rows (src/GROM.c:11271-11320)."""
+    rows = []
+    L = len(chrom)
+    for i in np.flatnonzero(keep):
+        p = int(cand.pos[i])
+        alt_i = int(cand.alt[i])
+        n_alt = int(cand.counts[alt_i, i])
+        rca = int(cand.read_count_all[i])
+        bq_mean = cand.bq_all[i] / rca if rca else math.nan
+        mq_mean = cand.mq_all[i] / rca if rca else math.nan
+        pir = cand.pos_in_read[i] / n_alt if n_alt else math.nan
+        fs = cand.fstrand[i] / n_alt if n_alt else math.nan
+        parts = ["SNV\t%s\t%d\t%c\t%e\t%d\t%d"
+                 % (chr_name, p, _DNA[alt_i], cand.ratio[i], 0, 0)]
+        for nt in range(4):
+            parts.append("\t%d" % cand.counts[nt, i])
+        for nt in range(4):
+            parts.append("\t%d" % cand.lowmq[nt, i])
+        parts.append("\t%d\t%d\t%d\t%d\t%d\t%d\t%d"
+                     % (cand.bq[i], cand.bq_all[i], cand.mq[i],
+                        cand.mq_all[i], cand.bq_read_count[i],
+                        cand.mq_read_count[i], rca))
+        if 0 < p < L - 1:
+            tri = "%c%c%c" % (chrom[p - 1], chrom[p], chrom[p + 1])
+        else:
+            tri = "..."
+        parts.append("\t%.2f\t%.2f\t%s" % (pir, fs, tri))
+        # flank: lseq left chars (p-lseq+1..p, N below 0), then lseq-1 right
+        # chars printed in DESCENDING order p+lseq-1..p+1 with N at any index
+        # >= L-1 (the reference's boundary check, src/GROM.c:11303-11313)
+        flank = []
+        for b in range(lseq):
+            q = p - lseq + 1 + b
+            flank.append("N" if q < 0 else chr(chrom[q]))
+        for b in range(lseq - 1):
+            q = p + lseq - 1 - b
+            flank.append("N" if q >= L - 1 else chr(chrom[q]))
+        parts.append("\t%s" % "".join(flank))
+        parts.append("\t%e\t%e" % (cand.binom_cdf[i], cand.hez_cdf[i]))
+        rows.append("".join(parts))
     return rows

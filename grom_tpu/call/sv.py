@@ -528,9 +528,23 @@ _SV_FMT = ("%s\t%d\t.\t.\t<%s>\t.\t.\tEND=%d\t"
            "SPR:EPR:SEV:EEV:SRD:ERD:SCO:ECO:SOT:EOT:SFR:SLR:EFR:ELR\t"
            "%e:%e:%.1f:%.1f:%d:%d:%d:%d:%d:%d:%d:%d:%d:%d")
 
+# tabular (-f) paired-SV row (src/GROM.c:15347 DUP, :15947/:16003 INV_F/R,
+# :16564 DEL): 0-based coordinates, raw (unscaled) evidence ints, hez CDFs
+_SV_TAB_FMT = ("%s\t%s\t%d\t%d\t%6.2f\t%e\t%e\t%d\t%d\t%d\t%d\t%d\t%d\t%d\t"
+               "%d\t%d\t%d\t%d\t%d\t%e\t%e")
 
-def _sv_row(chr_name: str, typ: str, c: SvCandidate, cfg: GromConfig) -> str:
+
+def _sv_row(chr_name: str, typ: str, c: SvCandidate, cfg: GromConfig,
+            tab_typ: str = "") -> str:
     af = float(cfg.add_factor)
+    if not cfg.vcf_output:
+        return _SV_TAB_FMT % (
+            tab_typ or typ, chr_name, c.start.pos, c.end.pos, c.dist,
+            c.start.binom, c.end.binom, c.start.ev, c.end.ev,
+            c.start.rd, c.end.rd, c.start.conc, c.end.conc,
+            c.start.other_len, c.end.other_len,
+            c.start.read_start, c.start.read_end,
+            c.end.read_start, c.end.read_end, c.start.hez, c.end.hez)
     return _SV_FMT % (
         chr_name, c.start.pos + 1, typ, c.end.pos + 1, c.start.binom,
         c.end.binom, c.start.ev / af, c.end.ev / af, c.start.rd, c.end.rd,
@@ -580,7 +594,7 @@ def format_inv_rows(chr_name, inv_f2, inv_r2, arr: ChromArrays, cfg,
             and r.start.binom * r.end.binom < c.start.binom * c.end.binom
             for r in inv_r2)
         if not lose and rd_sym(c):
-            rows.append(_sv_row(chr_name, "INV", c, cfg))
+            rows.append(_sv_row(chr_name, "INV", c, cfg, tab_typ="INV_F"))
     for c in inv_r2:
         if not _pass_sv(c, cfg):
             continue
@@ -591,7 +605,7 @@ def format_inv_rows(chr_name, inv_f2, inv_r2, arr: ChromArrays, cfg,
             and f.start.binom * f.end.binom <= c.start.binom * c.end.binom
             for f in inv_f2)
         if not lose and rd_sym(c):
-            rows.append(_sv_row(chr_name, "INV", c, cfg))
+            rows.append(_sv_row(chr_name, "INV", c, cfg, tab_typ="INV_R"))
     return rows
 
 
@@ -602,6 +616,15 @@ def format_ins_rows(chr_name, ins2, cfg) -> List[str]:
     for c in ins2:
         if (c.start.binom <= cfg.pval_insertion and c.end.binom <= cfg.pval_insertion
                 and abs(c.end.pos - c.start.pos) <= cfg.max_ins_range):
+            if not cfg.vcf_output:
+                # tabular (src/GROM.c:16091): empty 5th column, raw counts
+                rows.append(
+                    "INS\t%s\t%d\t%d\t\t%e\t%e\t%d\t%d\t%d\t%d\t%d\t%d\t%d\t%d"
+                    % (chr_name, c.start.pos, c.end.pos, c.start.binom,
+                       c.end.binom, c.start.ev, c.end.ev, c.start.rd,
+                       c.end.rd, c.start.conc, c.end.conc,
+                       c.start.other_len, c.end.other_len))
+                continue
             rows.append(
                 "%s\t%d\t.\t.\t<INS>\t.\t.\tEND=%d\tSPR:EPR:SEV:EEV:SRD:ERD:SCO:ECO:SOT:EOT\t"
                 "%e:%e:%.1f:%.1f:%d:%d:%d:%d:%d:%d"

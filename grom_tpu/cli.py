@@ -143,7 +143,12 @@ def run_parallel(cfg: GromConfig) -> None:
     with multiprocessing.get_context("spawn").Pool(cfg.processes) as pool:
         results = pool.map(_run_one_chromosome, jobs)
     results.sort(key=lambda t: t[0])
-    writer = VcfWriter(cfg.out_vcf, cfg.ref_fasta)
+    prelude = None
+    if not cfg.vcf_output:
+        from grom_tpu.vcfio.tabular import main_prelude
+        prelude = main_prelude(drv.insert_mean, drv.insert_min,
+                               drv.insert_max, drv.read_len)
+    writer = VcfWriter(cfg.out_vcf, cfg.ref_fasta, prelude=prelude)
     all_ctx = []
     for _, rows, ctx in results:
         writer.write_rows(rows)

@@ -45,7 +45,12 @@ def run(cfg: GromConfig, file_date: Optional[str] = None) -> RunResult:
                                     cfg.max_trials)
     hez_table = binom.build_hez_table(cfg.max_trials)
 
-    writer = VcfWriter(cfg.out_vcf, cfg.ref_fasta, file_date)
+    prelude = None
+    if not cfg.vcf_output:
+        from grom_tpu.vcfio.tabular import main_prelude
+        prelude = main_prelude(drv.insert_mean, drv.insert_min,
+                               drv.insert_max, drv.read_len)
+    writer = VcfWriter(cfg.out_vcf, cfg.ref_fasta, file_date, prelude=prelude)
     n_records = 0
     all_ctx: List[str] = []
 
@@ -74,7 +79,11 @@ def run(cfg: GromConfig, file_date: Optional[str] = None) -> RunResult:
 
 
 def _ctx_path(out_vcf: str) -> str:
-    return (out_vcf[:-4] if out_vcf.endswith(".vcf") else out_vcf) + ".ctx.vcf"
+    """"x.vcf" -> "x.ctx.vcf"; anything else appends ".ctx"
+    (src/GROM.c:20488-20504)."""
+    if out_vcf.endswith(".vcf"):
+        return out_vcf[:-4] + ".ctx.vcf"
+    return out_vcf + ".ctx"
 
 
 def _subset_reads(reads: bam_mod.RawReads, sel: np.ndarray) -> bam_mod.RawReads:
@@ -126,7 +135,8 @@ def call_chromosome(chrom: np.ndarray, reads: bam_mod.RawReads,
                                           scan_start, scan_end)
     keep = snv_mod.flush_filter(cands, chrom, arr, cfg, drv, scan_start,
                                 scan_end, skipped)
-    rows = snv_mod.format_snv_rows(cands, keep, chrom, out_name, cfg)
+    rows = snv_mod.format_snv_rows(cands, keep, chrom, out_name, cfg,
+                                   lseq=drv.read_len)
 
     det = sv_mod.SvDetector(len(chrom), arr, dense, ev, cfg, drv,
                             mq_table, hez_table)

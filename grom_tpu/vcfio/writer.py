@@ -70,9 +70,14 @@ def vcf_header(reference_path: str, file_date: Optional[str] = None) -> str:
 
 class VcfWriter:
     def __init__(self, path: str, reference_path: str,
-                 file_date: Optional[str] = None):
+                 file_date: Optional[str] = None,
+                 prelude: Optional[str] = None):
+        """``prelude`` overrides the VCF header — used by the tabular (-f)
+        mode, whose files start with the insert-stats line + column header
+        instead (src/GROM.c:20569-20665)."""
         self._f = open(path, "w")
-        self._f.write(vcf_header(reference_path, file_date))
+        self._f.write(prelude if prelude is not None
+                      else vcf_header(reference_path, file_date))
 
     def write_rows(self, rows: List[str]) -> None:
         for r in rows:

@@ -38,6 +38,10 @@ def make(name: str, length: int, seed: int, sim: SimConfig, oracle_flags=None,
     if r.returncode != 0:
         print(r.stdout[-2000:], r.stderr[-500:])
         sys.exit(1)
+    # tabular-mode oracle (-f) for the same dataset
+    rt = run_oracle(bam, fa, os.path.join(d, "oracle.tab.txt"),
+                    extra_flags=(oracle_flags or []) + ["-f"])
+    print(name, "oracle tab rc:", rt.returncode)
     # drop caches the oracle writes next to inputs (not fixture content)
     for suffix in (".bam.mean", ".fa.info"):
         p = prefix + suffix
@@ -116,6 +120,9 @@ def make_ctx_fixture():
     w.close()
     r = run_oracle(bam, fa, os.path.join(d, "oracle.vcf"))
     print("ctx2x60k oracle rc:", r.returncode)
+    rt = run_oracle(bam, fa, os.path.join(d, "oracle.tab.txt"),
+                    extra_flags=["-f"])
+    print("ctx2x60k oracle tab rc:", rt.returncode)
     for suffix in (".bam.mean", ".fa.info"):
         p = os.path.join(d, "ds" + suffix)
         if os.path.exists(p):
