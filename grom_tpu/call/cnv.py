@@ -389,7 +389,8 @@ def _broken_double_sort(vals: np.ndarray) -> np.ndarray:
 def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
                    rd_hi: np.ndarray, rd_lo: np.ndarray, cfg: GromConfig,
                    drv: DerivedConfig, ploidy: int,
-                   rng: Optional[np.random.Generator] = None
+                   rng: Optional[np.random.Generator] = None,
+                   gen1000_out: Optional[List[str]] = None
                    ) -> Tuple[List[CnvCall], List[CnvCall]]:
     L = len(chrom)
     m = drv.insert_mean
@@ -604,7 +605,40 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
                     c.cn = -1.0
             else:
                 c.cn = -1.0
+
+    # ---- optional fixed-window CN track, -N (src/GROM.c:20244-20345) ----
+    if gen1000_out is not None and cfg.gen1000_window > 0:
+        gen1000_out.extend(_gen1000_track(depth, mq, gc, low_acgt, ave,
+                                          ploidy, cfg, L))
     return dels, dups
+
+
+def _gen1000_track(depth, mq, gc, low_acgt, ave, ploidy, cfg, L) -> List[str]:
+    """Fixed-window copy-number track (src/GROM.c:20270-20340): per complete
+    window of -N bases, trimmed-nothing mean of depth/GC-mean ratios x ploidy
+    and its stdev; windows with no usable base print CN -1. The class here is
+    direct high/low mapq (no sticky state)."""
+    W = cfg.gen1000_window
+    ok = low_acgt == 0
+    cls = np.where(mq >= cfg.min_mapq, 0, 1)
+    a = ave[cls, gc]
+    valid = ok & (a > 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(valid, depth / np.where(a > 0, a, 1.0), 0.0)
+    rows: List[str] = []
+    for w in range(L // W):
+        sl = slice(w * W, (w + 1) * W)
+        v = ratio[sl][valid[sl]]
+        cnt = len(v)
+        if cnt > 0:
+            # cumsum keeps the reference's sequential fp accumulation order
+            cn = (float(np.cumsum(v)[-1]) / cnt) * ploidy
+            sd = math.sqrt(float(np.cumsum((ploidy * v - cn) ** 2)[-1]) / cnt)
+        else:
+            cn = -1.0
+            sd = 0.0
+        rows.append("%d\t%e\t%e" % (w * W, cn, sd))
+    return rows
 
 
 def _sticky_ffill(def_cls: np.ndarray, init: int) -> np.ndarray:
@@ -1253,12 +1287,14 @@ def format_cnv_rows(chr_name: str, dels: List[CnvCall], dups: List[CnvCall],
 
 def call_cnv(chrom: np.ndarray, rd_hi: np.ndarray, rd_lo: np.ndarray,
              rd_mq_sum: np.ndarray, cfg: GromConfig, drv: DerivedConfig,
-             chr_name: str, is_chrx: bool = False) -> List[str]:
+             chr_name: str, is_chrx: bool = False,
+             gen1000_out: Optional[List[str]] = None) -> List[str]:
     """Full CNV pipeline for one chromosome. rd_mq_sum is the raw per-base
-    mapq sum (normalized to mean in here, mirroring src/GROM.c:16637)."""
+    mapq sum (normalized to mean in here, mirroring src/GROM.c:16637).
+    When -N is set, the fixed-window CN track rows land in gen1000_out."""
     ploidy = cfg.ploidy // 2 if (is_chrx and cfg.gender == 1) else cfg.ploidy
     feats = preprocess_reference(chrom, drv.insert_mean, cfg.min_repeat)
     prep = prep_cnv(chrom, feats, rd_hi, rd_lo, rd_mq_sum, cfg, drv)
     dels, dups = detect_del_dup(chrom, feats, prep, rd_hi, rd_lo, cfg, drv,
-                                ploidy)
+                                ploidy, gen1000_out=gen1000_out)
     return format_cnv_rows(chr_name, dels, dups, cfg)

@@ -164,6 +164,13 @@ def call_chromosome(chrom: np.ndarray, reads: bam_mod.RawReads,
 
     from grom_tpu.call import cnv as cnv_mod
     from grom_tpu.ingest.fasta import is_chrx
+    gen1000: List[str] = []
     rows.extend(cnv_mod.call_cnv(chrom, arr.rd_hi, arr.rd_lo, arr.rd_mq,
-                                 cfg, drv, out_name, is_chrx(out_name)))
+                                 cfg, drv, out_name, is_chrx(out_name),
+                                 gen1000_out=gen1000))
+    if cfg.gen1000_window > 0:
+        # per-chromosome CN track file <out>.1000gen.<chr> (src/GROM.c:20246)
+        with open("%s.1000gen.%s" % (cfg.out_vcf, out_name), "w") as f:
+            for r in gen1000:
+                f.write(r + "\n")
     return rows, ctx_records
