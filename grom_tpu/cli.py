@@ -96,8 +96,10 @@ def _run_one_chromosome(args):
 
     cfg = GromConfig.from_json(cfg_json)
     info = fasta_mod.index_fasta(cfg.ref_fasta)
-    header, reads = bam_mod.read_bam(cfg.bam)
-    ins = load_or_estimate(cfg.bam, reads, cfg)
+    # regional fetch: decode only this chromosome's records (BAI-planned);
+    # insert stats come from the parent-written cache
+    header, reads = bam_mod.read_bam_region(cfg.bam, refid)
+    ins = load_or_estimate(cfg.bam, None, cfg)
     drv = DerivedConfig.from_insert_stats(cfg, ins.insert_mean, ins.insert_min,
                                           ins.insert_max, ins.read_len,
                                           ins.mapped_read_bases)
@@ -112,7 +114,7 @@ def _run_one_chromosome(args):
                                     cfg.max_trials)
     hez_table = binom.build_hez_table(cfg.max_trials)
     chrom = fasta_mod.load_chromosome(cfg.ref_fasta, info, fa_name)
-    sel = np.flatnonzero(reads.refid == refid)
+    sel = np.arange(len(reads))
     rows, ctx = call_chromosome(chrom, reads, sel, refid, out_name, cfg, drv,
                                 mq_table, hez_table)
     return refid, rows, ctx
@@ -133,12 +135,11 @@ def run_parallel(cfg: GromConfig) -> None:
     from grom_tpu.ingest.insert_size import load_or_estimate
     from grom_tpu.vcfio.writer import VcfWriter
 
-    header, reads = bam_mod.read_bam(cfg.bam, want_names=False)
-    ins = load_or_estimate(cfg.bam, reads, cfg)
+    header = bam_mod.read_bam_header(cfg.bam)
+    ins = load_or_estimate(cfg.bam, None, cfg)  # lazy full decode on cache miss
     drv = DerivedConfig.from_insert_stats(cfg, ins.insert_mean, ins.insert_min,
                                           ins.insert_max, ins.read_len,
                                           ins.mapped_read_bases)
-    del reads
     jobs = [(cfg.to_json(), refid) for refid in range(header.n_ref)]
     with multiprocessing.get_context("spawn").Pool(cfg.processes) as pool:
         results = pool.map(_run_one_chromosome, jobs)

@@ -10,6 +10,7 @@ device tensors by ingest/batches.py.
 
 from __future__ import annotations
 
+import os
 import struct
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
@@ -307,6 +308,105 @@ def read_bam(path: str, want_names: bool = True) -> Tuple[BamHeader, RawReads]:
     data, _ = bgzf.read_bgzf(path)
     header, off = decode_header(data)
     return header, decode_records(data, off, want_names=want_names)
+
+
+def read_bam_header(path: str) -> BamHeader:
+    """Decode just the BAM header (inflates only the leading blocks)."""
+    rdr = bgzf.BgzfRandomReader(path)
+    nb = 1
+    while True:
+        head = rdr.inflate_blocks(0, nb)
+        try:
+            header, _ = decode_header(head)
+            return header
+        except (ValueError, struct.error, IndexError):
+            if nb >= rdr.n_blocks:
+                raise
+            nb *= 2
+
+
+def concat_raw(parts: List[RawReads]) -> RawReads:
+    """Concatenate RawReads structs (record order = list order)."""
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return decode_records(b"", 0, 0)
+    if len(parts) == 1:
+        return parts[0]
+
+    def cat(field):
+        return np.concatenate([getattr(p, field) for p in parts])
+
+    def cat_off(field):
+        offs = [parts[0].__getattribute__(field)]
+        base = int(offs[0][-1])
+        for p in parts[1:]:
+            o = getattr(p, field)
+            offs.append(o[1:] + base)
+            base += int(o[-1])
+        return np.concatenate(offs)
+
+    names: List[bytes] = []
+    sa: List[Optional[bytes]] = []
+    for p in parts:
+        names.extend(p.names)
+        sa.extend(p.sa_tags)
+    return RawReads(cat("refid"), cat("pos"), cat("mapq"), cat("flag"),
+                    cat("mrefid"), cat("mpos"), cat("tlen"), cat("lseq"),
+                    cat("cigar"), cat_off("cigar_off"), cat("seq"),
+                    cat("qual"), cat_off("seq_off"), names, sa)
+
+
+def find_bai(path: str) -> Optional[str]:
+    for cand in (path + ".bai", path[:-4] + ".bai" if path.endswith(".bam")
+                 else path + ".bai"):
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
+def read_bam_region(path: str, refid: int, beg: int = 0,
+                    end: Optional[int] = None, want_names: bool = True
+                    ) -> Tuple[BamHeader, RawReads]:
+    """Decode only the records overlapping [beg, end) of one reference,
+    using the BAI index for fetch planning — the equivalent of the
+    reference's per-chromosome ``bam_fetch`` (src/GROM.c:981-992). Falls
+    back to a full-file read (filtered) when no index is present."""
+    from grom_tpu.ingest.bai import read_bai, region_chunks
+
+    bai_path = find_bai(path)
+    if bai_path is None:
+        header, reads = read_bam(path, want_names=want_names)
+        sel = np.flatnonzero(reads.refid == refid)
+        from grom_tpu.driver import _subset_reads
+        return header, _subset_reads(reads, sel)
+
+    rdr = bgzf.BgzfRandomReader(path)
+    # header: inflate leading blocks until it parses completely
+    nb = 1
+    while True:
+        head = rdr.inflate_blocks(0, nb)
+        try:
+            header, _ = decode_header(head)
+            break
+        except (ValueError, struct.error, IndexError):
+            if nb >= rdr.n_blocks:
+                raise
+            nb *= 2
+    refs = read_bai(bai_path)
+    if end is None:
+        end = header.ref_lengths[refid] if refid < header.n_ref else 1 << 29
+    chunks = region_chunks(refs, refid, beg, max(end, beg + 1))
+    parts: List[RawReads] = []
+    for vs, ve in chunks:
+        flat, s_off, e_off = rdr.span(vs, ve)
+        parts.append(decode_records(flat, s_off, e_off,
+                                    want_names=want_names))
+    reads = concat_raw(parts)
+    keep = np.flatnonzero(reads.refid == refid)
+    if len(keep) != len(reads):
+        from grom_tpu.driver import _subset_reads
+        reads = _subset_reads(reads, keep)
+    return header, reads
 
 
 # ---------------------------------------------------------------------------

@@ -126,6 +126,121 @@ def _read_bgzf_native(path: str) -> Tuple[bytes, np.ndarray] | None:
     return dst.tobytes(), blocks
 
 
+class BgzfRandomReader:
+    """Random access over a BGZF file: scans the block table once, then
+    inflates only the block span covering a virtual-offset range — the
+    building block for BAI-planned regional fetches (htslib-equivalent;
+    the reference fetches via bam_fetch, src/GROM.c:981-992)."""
+
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            self._src = f.read()
+        self._coff, self._usize = self._scan()
+        self._uoff = np.zeros(len(self._coff) + 1, np.int64)
+        np.cumsum(self._usize, out=self._uoff[1:])
+
+    def _scan(self) -> Tuple[np.ndarray, np.ndarray]:
+        from grom_tpu.native import get_lib
+        lib = get_lib()
+        src = self._src
+        if lib is not None:
+            import ctypes
+            cap = max(len(src) // 1024, 64)
+            while True:
+                coff = np.empty(cap, np.int64)
+                usize = np.empty(cap, np.int64)
+                n = lib.gn_bgzf_scan(src, len(src),
+                                     coff.ctypes.data_as(ctypes.c_void_p),
+                                     usize.ctypes.data_as(ctypes.c_void_p),
+                                     cap)
+                if n == -2:
+                    cap *= 2
+                    continue
+                if n >= 0:
+                    return coff[:n].copy(), usize[:n].copy()
+                break  # malformed: fall through to the Python scanner
+        coffs: List[int] = []
+        usizes: List[int] = []
+        off = 0
+        n = len(src)
+        while off + 18 <= n:
+            xlen = struct.unpack_from("<H", src, off + 10)[0]
+            extra = src[off + 12:off + 12 + xlen]
+            bsize = None
+            eo = 0
+            while eo + 4 <= xlen:
+                si1, si2 = extra[eo], extra[eo + 1]
+                slen = struct.unpack_from("<H", extra, eo + 2)[0]
+                if si1 == 66 and si2 == 67 and slen == 2:
+                    bsize = struct.unpack_from("<H", extra, eo + 4)[0] + 1
+                    break
+                eo += 4 + slen
+            if bsize is None:
+                raise ValueError("missing BGZF BC subfield")
+            isize = struct.unpack_from("<I", src, off + bsize - 4)[0]
+            coffs.append(off)
+            usizes.append(isize)
+            off += bsize
+        return (np.array(coffs, np.int64), np.array(usizes, np.int64))
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self._coff)
+
+    def _block_at(self, coff: int) -> int:
+        i = int(np.searchsorted(self._coff, coff, side="right")) - 1
+        return max(i, 0)
+
+    def inflate_blocks(self, lo: int, hi: int) -> bytes:
+        """Inflate blocks [lo, hi) into one flat bytes object."""
+        hi = min(hi, self.n_blocks)
+        lo = min(max(lo, 0), hi)
+        if lo >= hi:
+            return b""
+        from grom_tpu.native import get_lib
+        lib = get_lib()
+        total = int(self._uoff[hi] - self._uoff[lo])
+        if lib is not None:
+            import ctypes
+            import os as _os
+            dst = np.empty(total, np.uint8)
+            uoff = (self._uoff[lo:hi + 1] - self._uoff[lo]).copy()
+            coff = self._coff[lo:hi].copy()
+            rc = lib.gn_bgzf_inflate(
+                self._src, len(self._src),
+                coff.ctypes.data_as(ctypes.c_void_p),
+                uoff.ctypes.data_as(ctypes.c_void_p),
+                hi - lo, dst.ctypes.data_as(ctypes.c_void_p),
+                min(_os.cpu_count() or 1, 16))
+            if rc == 0:
+                return dst.tobytes()
+        out = []
+        for b in range(lo, hi):
+            c0 = int(self._coff[b])
+            xlen = struct.unpack_from("<H", self._src, c0 + 10)[0]
+            bsize = (int(self._coff[b + 1]) - c0 if b + 1 < self.n_blocks
+                     else len(self._src) - c0)
+            cdata = self._src[c0 + 12 + xlen:c0 + bsize - 8]
+            out.append(zlib.decompress(cdata, wbits=-15)
+                       if self._usize[b] else b"")
+        return b"".join(out)
+
+    def span(self, vstart: int, vend: int) -> Tuple[bytes, int, int]:
+        """Inflate the block range covering virtual offsets [vstart, vend)
+        and return (flat, start_off, end_off) within the flat bytes."""
+        b0 = self._block_at(vstart >> 16)
+        b1 = self._block_at(vend >> 16)
+        if (vend & 0xFFFF) > 0 or b1 < b0:
+            hi = b1 + 1
+        else:
+            hi = max(b1, b0 + 1)
+        flat = self.inflate_blocks(b0, hi)
+        s_off = vstart & 0xFFFF
+        e_off = int(self._uoff[b1] - self._uoff[b0]) + (vend & 0xFFFF)
+        e_off = min(e_off, len(flat))
+        return flat, s_off, e_off
+
+
 def iter_bgzf_blocks(path: str) -> Iterator[Tuple[int, int, bytes]]:
     """Stream (compressed_offset, uncompressed_offset, payload) per block."""
     with open(path, "rb") as f:

@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass
+from typing import Optional
 
 import numpy as np
 
@@ -99,8 +100,11 @@ def estimate_insert_stats(reads: RawReads, cfg: GromConfig) -> InsertStats:
     return InsertStats(insert_mean, insert_min, insert_max, read_len, mapped_read_bases)
 
 
-def load_or_estimate(bam_path: str, reads: RawReads, cfg: GromConfig,
-                     use_cache: bool = True) -> InsertStats:
+def load_or_estimate(bam_path: str, reads: Optional[RawReads],
+                     cfg: GromConfig, use_cache: bool = True) -> InsertStats:
+    """``reads`` may be None: the full BAM is then decoded lazily, but only
+    on a cache miss (regional workers normally hit the cache written by the
+    parent — mirroring the reference's <bam>.mean cache, src/GROM.c:994)."""
     cache = bam_path + ".grom_tpu.mean.json"
     if use_cache and os.path.exists(cache):
         try:
@@ -108,6 +112,9 @@ def load_or_estimate(bam_path: str, reads: RawReads, cfg: GromConfig,
                 return InsertStats.from_json(f.read())
         except (ValueError, KeyError):
             pass
+    if reads is None:
+        from grom_tpu.ingest.bam import read_bam
+        _, reads = read_bam(bam_path, want_names=False)
     st = estimate_insert_stats(reads, cfg)
     try:
         with open(cache, "w") as f:
