@@ -7,7 +7,31 @@ vectorized pileup/evidence kernels over HBM-resident genome tiles, and
 mesh-sharded multi-chip execution.
 """
 
-from grom_tpu.config import DerivedConfig, GromConfig
+def _tune_malloc() -> None:
+    """Keep glibc from mmap()ing every large numpy buffer. The pileup path
+    allocates/frees tens of ~50MB arrays per chromosome; with the default
+    mmap threshold each one is a fresh anonymous mapping whose pages fault
+    on first touch (and on some hosts that costs seconds per call). Raising
+    M_MMAP_THRESHOLD/M_TRIM_THRESHOLD makes the heap retain and reuse those
+    pages. Measured ~2x end-to-end on the 200kb fixture. No-op off glibc."""
+    import ctypes
+    import sys
+    if not sys.platform.startswith("linux"):
+        return
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        M_TRIM_THRESHOLD = -1
+        M_MMAP_THRESHOLD = -3
+        one_gib = 1 << 30
+        libc.mallopt(M_MMAP_THRESHOLD, one_gib)
+        libc.mallopt(M_TRIM_THRESHOLD, one_gib)
+    except (OSError, AttributeError):
+        pass
+
+
+_tune_malloc()
+
+from grom_tpu.config import DerivedConfig, GromConfig  # noqa: E402
 
 __version__ = "0.1.0"
 

@@ -33,10 +33,13 @@ class RunResult:
 
 def run(cfg: GromConfig, file_date: Optional[str] = None) -> RunResult:
     """Single-host run (the reference's serial mode)."""
+    from grom_tpu.utils.timing import phase, report
     info = fasta_mod.index_fasta(cfg.ref_fasta)
-    header, reads = bam_mod.read_bam(cfg.bam)
+    with phase("ingest.read_bam"):
+        header, reads = bam_mod.read_bam(cfg.bam)
 
-    ins = load_or_estimate(cfg.bam, reads, cfg)
+    with phase("ingest.insert_stats"):
+        ins = load_or_estimate(cfg.bam, reads, cfg)
     drv = DerivedConfig.from_insert_stats(cfg, ins.insert_mean, ins.insert_min,
                                           ins.insert_max, ins.read_len,
                                           ins.mapped_read_bases)
@@ -74,7 +77,9 @@ def run(cfg: GromConfig, file_date: Optional[str] = None) -> RunResult:
 
     ctx_path = _ctx_path(cfg.out_vcf)
     from grom_tpu.call.ctx import write_ctx_vcf
-    write_ctx_vcf(ctx_path, all_ctx, header.ref_names, cfg, drv, file_date)
+    with phase("emit.ctx_merge"):
+        write_ctx_vcf(ctx_path, all_ctx, header.ref_names, cfg, drv, file_date)
+    report()
     return RunResult(cfg.out_vcf, ctx_path, n_records, ins)
 
 
@@ -121,26 +126,33 @@ def call_chromosome(chrom: np.ndarray, reads: bam_mod.RawReads,
     from grom_tpu.call import indel as indel_mod
     from grom_tpu.call import sv as sv_mod
     from grom_tpu.call.deposits import run_deposits
+    from grom_tpu.utils.timing import phase
 
-    sub = _subset_reads(reads, sel)
-    batch = build_batch(sub, refid, cfg.min_mapq, cfg.add_factor, cfg.rmdup)
+    with phase("batch.build"):
+        sub = _subset_reads(reads, sel)
+        batch = build_batch(sub, refid, cfg.min_mapq, cfg.add_factor, cfg.rmdup)
     scan_start, scan_end, skipped = scan_mod.scan_bounds(cfg, drv, sub.pos)
-    arr = scan_mod.accumulate_chromosome(chrom, batch, cfg, drv, scan_start)
-    dense, ev = run_deposits(len(chrom), batch, out_name, cfg, drv, scan_start)
+    with phase("scan.accumulate"):
+        arr = scan_mod.accumulate_chromosome(chrom, batch, cfg, drv, scan_start)
+    with phase("scan.deposits"):
+        dense, ev = run_deposits(len(chrom), batch, out_name, cfg, drv,
+                                 scan_start)
     arr.one_base_rd = dense.rd
     arr.indel_sc_rd = dense.indel_sc_rd
     arr.sc_rd = dense.sc_rd
 
-    cands = snv_mod.detect_snv_candidates(chrom, arr, cfg, mq_table, hez_table,
-                                          scan_start, scan_end)
-    keep = snv_mod.flush_filter(cands, chrom, arr, cfg, drv, scan_start,
-                                scan_end, skipped)
-    rows = snv_mod.format_snv_rows(cands, keep, chrom, out_name, cfg,
-                                   lseq=drv.read_len)
+    with phase("call.snv"):
+        cands = snv_mod.detect_snv_candidates(chrom, arr, cfg, mq_table,
+                                              hez_table, scan_start, scan_end)
+        keep = snv_mod.flush_filter(cands, chrom, arr, cfg, drv, scan_start,
+                                    scan_end, skipped)
+        rows = snv_mod.format_snv_rows(cands, keep, chrom, out_name, cfg,
+                                       lseq=drv.read_len)
 
     det = sv_mod.SvDetector(len(chrom), arr, dense, ev, cfg, drv,
                             mq_table, hez_table)
-    det.run(scan_start, scan_end)
+    with phase("call.sv_detect"):
+        det.run(scan_start, scan_end)
     dup2 = sv_mod.cluster_paired(det.dup_list, cfg, drv)
     del2 = sv_mod.cluster_paired(det.del_list, cfg, drv)
     inv_f2 = sv_mod.cluster_paired(det.inv_f_list, cfg, drv)
@@ -149,9 +161,10 @@ def call_chromosome(chrom: np.ndarray, reads: bam_mod.RawReads,
     ctx_f2 = sv_mod.cluster_ctx(det.ctx_f_list, cfg, drv)
     ctx_r2 = sv_mod.cluster_ctx(det.ctx_r_list, cfg, drv)
 
-    ins_list, del_list, d_index = indel_mod.detect_indels(
-        chrom, arr, dense, ev, cfg, drv, mq_table, hez_table,
-        scan_start, scan_end)
+    with phase("call.indel"):
+        ins_list, del_list, d_index = indel_mod.detect_indels(
+            chrom, arr, dense, ev, cfg, drv, mq_table, hez_table,
+            scan_start, scan_end)
 
     rows.extend(sv_mod.format_dup_rows(out_name, dup2, cfg))
     rows.extend(sv_mod.format_inv_rows(out_name, inv_f2, inv_r2, arr, cfg, drv))
@@ -165,9 +178,10 @@ def call_chromosome(chrom: np.ndarray, reads: bam_mod.RawReads,
     from grom_tpu.call import cnv as cnv_mod
     from grom_tpu.ingest.fasta import is_chrx
     gen1000: List[str] = []
-    rows.extend(cnv_mod.call_cnv(chrom, arr.rd_hi, arr.rd_lo, arr.rd_mq,
-                                 cfg, drv, out_name, is_chrx(out_name),
-                                 gen1000_out=gen1000))
+    with phase("call.cnv"):
+        rows.extend(cnv_mod.call_cnv(chrom, arr.rd_hi, arr.rd_lo, arr.rd_mq,
+                                     cfg, drv, out_name, is_chrx(out_name),
+                                     gen1000_out=gen1000))
     if cfg.gen1000_window > 0:
         # per-chromosome CN track file <out>.1000gen.<chr> (src/GROM.c:20246)
         with open("%s.1000gen.%s" % (cfg.out_vcf, out_name), "w") as f:
