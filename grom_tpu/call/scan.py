@@ -42,10 +42,15 @@ def window_len_l0(cfg: GromConfig, drv: DerivedConfig) -> int:
     return max(l0, alt)
 
 
-def scan_bounds(cfg: GromConfig, drv: DerivedConfig, record_pos: np.ndarray):
-    """(scan_start, scan_end, n_skipped_records) for a whole-chromosome run."""
+def scan_bounds(cfg: GromConfig, drv: DerivedConfig, record_pos: np.ndarray,
+                region_start: int = 0):
+    """(scan_start, scan_end, n_skipped_records) for a whole-chromosome run.
+    ``region_start`` > 0 raises the scan start to region_start - overlap for
+    -c sub-region children (src/GROM.c:5730-5731)."""
     l0 = window_len_l0(cfg, drv)
     scan_start = (2 * l0) // 4 + 1
+    if region_start > 0:
+        scan_start = max(scan_start, region_start - cfg.sub_region_overlap)
     im = cfg.overlap_mult * drv.insert_max
     if len(record_pos):
         scan_end = max(scan_start, int(record_pos[-1]) - im)

@@ -82,9 +82,33 @@ def parse_args(argv: List[str]) -> Optional[GromConfig]:
     return cfg
 
 
+def split_regions(ref_len: int, cfg) -> List:
+    """Sub-region splits for one chromosome, mirroring the reference's
+    launch loop (src/GROM.c:557-566): regions of -R Mb with a 10kb overlap
+    on each region's end; the last region absorbs up to 1.25x a region."""
+    S = cfg.sub_region_mb * 1_000_000
+    if S <= 0:
+        return [(0, 0, ref_len)]
+    out = []
+    size = ref_len
+    sub = 0
+    while size > 0:
+        start = sub * S
+        if size > S // 4 * 5:
+            end = (sub + 1) * S + cfg.sub_region_overlap
+            size -= S
+        else:
+            end = start + size
+            size = 0
+        out.append((sub, start, end))
+        sub += 1
+    return out
+
+
 def _run_one_chromosome(args):
-    """Worker: call one chromosome, return (refid, rows, ctx_records)."""
-    cfg_json, refid = args
+    """Worker: call one chromosome (or one sub-region of it), returning
+    ((refid, sub), rows, ctx_records)."""
+    cfg_json, refid, sub, rstart, rend = args
     import numpy as np
 
     from grom_tpu.config import DerivedConfig, GromConfig
@@ -96,28 +120,38 @@ def _run_one_chromosome(args):
 
     cfg = GromConfig.from_json(cfg_json)
     info = fasta_mod.index_fasta(cfg.ref_fasta)
-    # regional fetch: decode only this chromosome's records (BAI-planned);
-    # insert stats come from the parent-written cache
-    header, reads = bam_mod.read_bam_region(cfg.bam, refid)
+    key = (refid, sub)
     ins = load_or_estimate(cfg.bam, None, cfg)
     drv = DerivedConfig.from_insert_stats(cfg, ins.insert_mean, ins.insert_min,
                                           ins.insert_max, ins.read_len,
                                           ins.mapped_read_bases)
+    # regional fetch: decode only this job's records (BAI-planned); insert
+    # stats come from the parent-written cache
+    if rstart is None:
+        header, reads = bam_mod.read_bam_region(cfg.bam, refid)
+        sel = np.arange(len(reads))
+        region_start = 0
+    else:
+        header, reads = bam_mod.read_bam_region(cfg.bam, refid,
+                                                max(rstart, 0), rend)
+        ends = bam_mod.alignment_ends(reads)
+        sel = np.flatnonzero((reads.pos < rend - 1) & (ends > rstart))
+        region_start = rstart
     bam_name = header.ref_names[refid]
     fa_name = fasta_mod.match_chromosome(bam_name, info.names)
     if fa_name is None:
-        return refid, [], []
+        return key, [], []
     out_name = fa_name.lower()
     if fasta_mod.is_chry(fa_name) and cfg.gender == 0:
-        return refid, [], []
+        return key, [], []
     mq_table = binom.build_mq_table(cfg.min_mapq if cfg.min_mapq > 10 else 10,
                                     cfg.max_trials)
     hez_table = binom.build_hez_table(cfg.max_trials)
     chrom = fasta_mod.load_chromosome(cfg.ref_fasta, info, fa_name)
-    sel = np.arange(len(reads))
     rows, ctx = call_chromosome(chrom, reads, sel, refid, out_name, cfg, drv,
-                                mq_table, hez_table)
-    return refid, rows, ctx
+                                mq_table, hez_table,
+                                region_start=region_start)
+    return key, rows, ctx
 
 
 def run_parallel(cfg: GromConfig) -> None:
@@ -140,7 +174,15 @@ def run_parallel(cfg: GromConfig) -> None:
     drv = DerivedConfig.from_insert_stats(cfg, ins.insert_mean, ins.insert_min,
                                           ins.insert_max, ins.read_len,
                                           ins.mapped_read_bases)
-    jobs = [(cfg.to_json(), refid) for refid in range(header.n_ref)]
+    jobs = []
+    for refid in range(header.n_ref):
+        regs = split_regions(header.ref_lengths[refid], cfg)
+        if len(regs) <= 1:
+            # single region == whole chromosome: identical to serial
+            jobs.append((cfg.to_json(), refid, 0, None, None))
+        else:
+            for sub, start, end in regs:
+                jobs.append((cfg.to_json(), refid, sub, start, end))
     with multiprocessing.get_context("spawn").Pool(cfg.processes) as pool:
         results = pool.map(_run_one_chromosome, jobs)
     results.sort(key=lambda t: t[0])

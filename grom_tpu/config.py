@@ -86,6 +86,7 @@ class GromConfig:
     vcf_output: bool = True          # -f turns OFF (tabular mode, g_vcf)
     processes: int = 0               # -P  number of parallel workers (0 = serial)
     one_chromosome: str = ""         # -c  internal child region spec "chr,sub,start,end"
+    sub_region_overlap: int = 10000  # g_sub_region_overlap (src/GROM.c:76)
 
     # Hard-coded reference constants we keep configurable (same defaults)
     max_trials: int = 1000                 # g_max_trials (binom table size)

@@ -32,7 +32,10 @@ class RunResult:
 
 
 def run(cfg: GromConfig, file_date: Optional[str] = None) -> RunResult:
-    """Single-host run (the reference's serial mode)."""
+    """Single-host run (the reference's serial mode). With -c
+    "chr,sub,start,end" set, runs the sub-region child mode instead."""
+    if cfg.one_chromosome:
+        return run_child_region(cfg)
     from grom_tpu.utils.timing import phase, report
     info = fasta_mod.index_fasta(cfg.ref_fasta)
     with phase("ingest.read_bam"):
@@ -83,6 +86,47 @@ def run(cfg: GromConfig, file_date: Optional[str] = None) -> RunResult:
     return RunResult(cfg.out_vcf, ctx_path, n_records, ins)
 
 
+def run_child_region(cfg: GromConfig) -> RunResult:
+    """-c "chr,sub,start,end" child: process one sub-region of one
+    chromosome, writing headerless partial files <out>.<bamchr>-<sub> and
+    <out>.<bamchr>-<sub>.ctx (src/GROM.c:20676-20692). The scan start is
+    clamped to start-overlap (src/GROM.c:5730) and reads are fetched with
+    bam_fetch's [start, end-1) overlap semantics."""
+    refid, sub, rstart, rend = (int(x) for x in cfg.one_chromosome.split(","))
+    info = fasta_mod.index_fasta(cfg.ref_fasta)
+    header = bam_mod.read_bam_header(cfg.bam)
+    ins = load_or_estimate(cfg.bam, None, cfg)
+    drv = DerivedConfig.from_insert_stats(cfg, ins.insert_mean, ins.insert_min,
+                                          ins.insert_max, ins.read_len,
+                                          ins.mapped_read_bases)
+    mq_table = binom.build_mq_table(cfg.min_mapq if cfg.min_mapq > 10 else 10,
+                                    cfg.max_trials)
+    hez_table = binom.build_hez_table(cfg.max_trials)
+    bam_name = header.ref_names[refid]
+    out_path = "%s.%s-%d" % (cfg.out_vcf, bam_name, sub)
+    ctx_out = out_path + ".ctx"
+    fa_name = fasta_mod.match_chromosome(bam_name, info.names)
+    rows: List[str] = []
+    ctx_recs: List[str] = []
+    if fa_name is not None:
+        out_name = fa_name.lower()
+        chrom = fasta_mod.load_chromosome(cfg.ref_fasta, info, fa_name)
+        _, reads = bam_mod.read_bam_region(cfg.bam, refid, max(rstart, 0),
+                                           rend)
+        ends = bam_mod.alignment_ends(reads)
+        sel = np.flatnonzero((reads.pos < rend - 1) & (ends > rstart))
+        rows, ctx_recs = call_chromosome(chrom, reads, sel, refid, out_name,
+                                         cfg, drv, mq_table, hez_table,
+                                         region_start=rstart)
+    with open(out_path, "w") as f:
+        for r in rows:
+            f.write(r if r.endswith("\n") else r + "\n")
+    with open(ctx_out, "w") as f:
+        for r in ctx_recs:
+            f.write(r if r.endswith("\n") else r + "\n")
+    return RunResult(out_path, ctx_out, len(rows), ins)
+
+
 def _ctx_path(out_vcf: str) -> str:
     """"x.vcf" -> "x.ctx.vcf"; anything else appends ".ctx"
     (src/GROM.c:20488-20504)."""
@@ -118,7 +162,8 @@ def _subset_reads(reads: bam_mod.RawReads, sel: np.ndarray) -> bam_mod.RawReads:
 def call_chromosome(chrom: np.ndarray, reads: bam_mod.RawReads,
                     sel: np.ndarray, refid: int, out_name: str,
                     cfg: GromConfig, drv: DerivedConfig,
-                    mq_table: np.ndarray, hez_table: np.ndarray
+                    mq_table: np.ndarray, hez_table: np.ndarray,
+                    region_start: int = 0
                     ) -> Tuple[List[str], List[str]]:
     """Full per-chromosome calling. Returns (vcf_rows, ctx_records) in the
     reference's emission order: SNV, DUP, INV, INS, INDEL_INS, INDEL_DEL,
@@ -131,7 +176,8 @@ def call_chromosome(chrom: np.ndarray, reads: bam_mod.RawReads,
     with phase("batch.build"):
         sub = _subset_reads(reads, sel)
         batch = build_batch(sub, refid, cfg.min_mapq, cfg.add_factor, cfg.rmdup)
-    scan_start, scan_end, skipped = scan_mod.scan_bounds(cfg, drv, sub.pos)
+    scan_start, scan_end, skipped = scan_mod.scan_bounds(cfg, drv, sub.pos,
+                                                         region_start)
     with phase("scan.accumulate"):
         arr = scan_mod.accumulate_chromosome(chrom, batch, cfg, drv, scan_start)
     with phase("scan.deposits"):

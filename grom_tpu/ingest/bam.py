@@ -310,6 +310,18 @@ def read_bam(path: str, want_names: bool = True) -> Tuple[BamHeader, RawReads]:
     return header, decode_records(data, off, want_names=want_names)
 
 
+def alignment_ends(reads: RawReads) -> np.ndarray:
+    """Per-record reference end position (pos + ref-consuming cigar span),
+    the htslib bam_calend equivalent used for fetch overlap tests."""
+    ops = reads.cigar & 0xF
+    lens = (reads.cigar >> 4).astype(np.int64)
+    consume = ((ops == 0) | (ops == 2) | (ops == 3) | (ops == 7)
+               | (ops == 8))
+    cs = np.concatenate([[0], np.cumsum(np.where(consume, lens, 0))])
+    span = cs[reads.cigar_off[1:]] - cs[reads.cigar_off[:-1]]
+    return reads.pos.astype(np.int64) + span
+
+
 def read_bam_header(path: str) -> BamHeader:
     """Decode just the BAM header (inflates only the leading blocks)."""
     rdr = bgzf.BgzfRandomReader(path)
