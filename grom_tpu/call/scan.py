@@ -174,20 +174,51 @@ def _accumulate_rd_lists(arr, batch, eligible, cfg):
 
 
 
-def _accumulate_snv(arr, chrom, batch, eligible, cfg):
+def _accumulate_snv(arr, chrom, batch, eligible, cfg,
+                    max_chunk_bases: int = 1_000_000):
     """Per-base SNV tally (src/GROM.c:6757-6984): quality-split counts with
     read-name dedup on high-quality mismatch bases.
 
-    Instead of per-nt subset bincounts, everything is folded into a handful
-    of composite-key bincounts over the full event stream: class*L+pos with a
-    dump row for gated-out events. Gating (eligibility, bounds, dedup-skip)
-    routes events to the dump row rather than copying the 10M+-element
-    arrays, which keeps this memory-bandwidth-bound rather than
-    allocation-bound."""
-    rid, refpos, readidx = expand_spans(batch)
+    Processes the M-span stream in chunks of <= max_chunk_bases aligned
+    bases so event-array memory stays bounded on long chromosomes (a 250Mb
+    chromosome at 30x is ~7.5G events — far too large for one pass). The
+    read-name dedup state carries across chunks in record order."""
+    lens = batch.span_len.astype(np.int64)
+    nspan = len(lens)
+    if nspan == 0:
+        return
+    cum = np.cumsum(lens)
+    slots: Dict[int, List[bytes]] = {}
+    name_cache: Dict[int, bytes] = {}
+    lo = 0
+    while lo < nspan:
+        base0 = int(cum[lo - 1]) if lo else 0
+        hi = int(np.searchsorted(cum, base0 + max_chunk_bases, side="left")) + 1
+        hi = min(max(hi, lo + 1), nspan)
+        _accumulate_snv_chunk(arr, chrom, batch, eligible, cfg, lo, hi,
+                              slots, name_cache)
+        lo = hi
+
+
+def _accumulate_snv_chunk(arr, chrom, batch, eligible, cfg, span_lo, span_hi,
+                          slots, name_cache):
+    """One span-chunk of the SNV tally. Everything is folded into a handful
+    of composite-key bincounts over the chunk's event stream:
+    class*band + (pos - band_lo), with a dump row for gated-out events.
+    Gating (eligibility, bounds, dedup-skip) routes events to the dump row
+    rather than copying the event arrays, and the position band (reads are
+    coordinate-sorted, so a chunk covers a narrow slice of the chromosome)
+    keeps the bincount output proportional to the chunk, not to L."""
+    from grom_tpu.ingest.batches import expand_span_range
+    rid, refpos, readidx = expand_span_range(batch, span_lo, span_hi)
     L = arr.chr_len
     gate = eligible[rid] & (refpos >= 0) & (refpos < L)
-    pos = np.where(gate, refpos, np.int32(0))
+    if not gate.any():
+        return
+    pmin = int(refpos[gate].min())
+    pmax = int(refpos[gate].max())
+    band = pmax - pmin + 1
+    pos = np.where(gate, refpos, np.int32(pmin))
 
     reads = batch.reads
     flat = reads.seq_off.astype(np.int32)[rid] + readidx
@@ -201,13 +232,12 @@ def _accumulate_snv(arr, chrom, batch, eligible, cfg):
     ref_upper = np.where(refb >= 97, refb - 32, refb)
     mismatch = (ref_upper != base) & gate
 
-    # --- read-name dedup on high-quality mismatch events (record order) ---
+    # --- read-name dedup on high-quality mismatch events (record order;
+    # slots/name_cache persist across chunks) ---
     skip = np.zeros(len(rid), dtype=bool)
     mm_idx = np.flatnonzero(hi & mismatch)
     if len(mm_idx):
         names = reads.names
-        slots: Dict[int, List[bytes]] = {}
-        name_cache: Dict[int, bytes] = {}
         max_slots = cfg.min_snv
         name_len_cap = 50  # g_read_name_len
         for i in mm_idx:
@@ -235,31 +265,33 @@ def _accumulate_snv(arr, chrom, batch, eligible, cfg):
     lo = gate & ~hi & (code >= 0)
 
     # --- composite count bincount: rows 0-3 hi by nt, 4-7 lowmq by nt, 8 dump
+    sl = slice(pmin, pmin + band)
     code_c = np.maximum(code, np.int8(0))
     cls = np.where(counted_hi, code_c,
                    np.where(lo, code_c + np.int8(4), np.int8(8)))
-    kdt = np.int32 if 9 * L < 2**31 else np.int64
+    kdt = np.int32 if 9 * band < 2**31 else np.int64
     key = cls.astype(kdt)
-    key *= kdt(L)
+    key *= kdt(band)
     key += pos
-    cnt = np.bincount(key, minlength=9 * L)[:8 * L].reshape(8, L)
+    key -= kdt(pmin)
+    cnt = np.bincount(key, minlength=9 * band)[:8 * band].reshape(8, band)
     snv_hi = cnt[:NT]
     snv_lo = cnt[NT:]
-    arr.snv += snv_hi.astype(arr.snv.dtype)
-    arr.snv_lowmq += snv_lo.astype(arr.snv_lowmq.dtype)
+    arr.snv[:, sl] += snv_hi.astype(arr.snv.dtype)
+    arr.snv_lowmq[:, sl] += snv_lo.astype(arr.snv_lowmq.dtype)
     # per-pos read counts are the per-class sums (code>=0 always here)
     hi_cnt = snv_hi.sum(axis=0)
     lo_cnt = snv_lo.sum(axis=0)
-    arr.bq_read_count += hi_cnt.astype(arr.bq_read_count.dtype)
-    arr.mq_read_count += hi_cnt.astype(arr.mq_read_count.dtype)
-    arr.read_count_all += (hi_cnt + lo_cnt).astype(arr.read_count_all.dtype)
+    arr.bq_read_count[sl] += hi_cnt.astype(arr.bq_read_count.dtype)
+    arr.mq_read_count[sl] += hi_cnt.astype(arr.mq_read_count.dtype)
+    arr.read_count_all[sl] += (hi_cnt + lo_cnt).astype(arr.read_count_all.dtype)
 
     # --- fstrand: composite over counted_hi & forward-strand events; all
-    # others collapse onto the single dump bin 4*L
+    # others collapse onto the single dump bin 4*band
     fwd = (batch.flag[rid] & FREVERSE) == 0
-    key_f = np.where(counted_hi & fwd, key, kdt(4 * L))
-    cnt_f = np.bincount(key_f, minlength=4 * L + 1)[:4 * L].reshape(4, L)
-    arr.fstrand += cnt_f.astype(arr.fstrand.dtype)
+    key_f = np.where(counted_hi & fwd, key, kdt(4 * band))
+    cnt_f = np.bincount(key_f, minlength=4 * band + 1)[:4 * band].reshape(4, band)
+    arr.fstrand[:, sl] += cnt_f.astype(arr.fstrand.dtype)
 
     # --- qual/mapq sums, packed: one weighted bincount carries both, with
     # qual in the low 26 bits and mapq above (exact in f64 while per-key
@@ -269,7 +301,8 @@ def _accumulate_snv(arr, chrom, batch, eligible, cfg):
         wqm = mapq.astype(np.float64)
         wqm *= PACK
         wqm += qual
-        s = np.bincount(key, weights=wqm, minlength=9 * L)[:8 * L].reshape(8, L)
+        s = np.bincount(key, weights=wqm,
+                        minlength=9 * band)[:8 * band].reshape(8, band)
         m_sum = np.floor_divide(s, PACK)
         q_sum = s - m_sum * PACK
         bq_hi = q_sum[:NT].sum(axis=0)
@@ -277,18 +310,19 @@ def _accumulate_snv(arr, chrom, batch, eligible, cfg):
         mq_hi = m_sum[:NT].sum(axis=0)
         mq_lo = m_sum[NT:].sum(axis=0)
     else:  # pathological pileup: unpacked (exact) path
-        bq_hi = np.bincount(pos, weights=np.where(counted_hi, qual, 0),
-                            minlength=L)[:L]
-        bq_lo = np.bincount(pos, weights=np.where(lo, qual, 0),
-                            minlength=L)[:L]
-        mq_hi = np.bincount(pos, weights=np.where(counted_hi, mapq, 0),
-                            minlength=L)[:L]
-        mq_lo = np.bincount(pos, weights=np.where(lo, mapq, 0),
-                            minlength=L)[:L]
-    arr.bq += bq_hi.astype(arr.bq.dtype)
-    arr.bq_all += (bq_hi + bq_lo).astype(arr.bq_all.dtype)
-    arr.mq += mq_hi.astype(arr.mq.dtype)
-    arr.mq_all += (mq_hi + mq_lo).astype(arr.mq_all.dtype)
+        posb = pos - np.int32(pmin)
+        bq_hi = np.bincount(posb, weights=np.where(counted_hi, qual, 0),
+                            minlength=band)[:band]
+        bq_lo = np.bincount(posb, weights=np.where(lo, qual, 0),
+                            minlength=band)[:band]
+        mq_hi = np.bincount(posb, weights=np.where(counted_hi, mapq, 0),
+                            minlength=band)[:band]
+        mq_lo = np.bincount(posb, weights=np.where(lo, mapq, 0),
+                            minlength=band)[:band]
+    arr.bq[sl] += bq_hi.astype(arr.bq.dtype)
+    arr.bq_all[sl] += (bq_hi + bq_lo).astype(arr.bq_all.dtype)
+    arr.mq[sl] += mq_hi.astype(arr.mq.dtype)
+    arr.mq_all[sl] += (mq_hi + mq_lo).astype(arr.mq_all.dtype)
 
     # --- pos-in-read: match bases use the strand-dependent index, mismatch
     # bases the raw read index for both strands (src/GROM.c:6846-6870 vs 6900)
@@ -296,5 +330,5 @@ def _accumulate_snv(arr, chrom, batch, eligible, cfg):
     pir = np.where(mismatch | fwd, readidx, lseq - readidx)
     # non-counted events carry cls>=4 and land in rows sliced away below
     pir_sum = np.bincount(key, weights=pir,
-                          minlength=9 * L)[:NT * L].reshape(NT, L)
-    arr.pos_in_read += pir_sum.astype(arr.pos_in_read.dtype)
+                          minlength=9 * band)[:NT * band].reshape(NT, band)
+    arr.pos_in_read[:, sl] += pir_sum.astype(arr.pos_in_read.dtype)

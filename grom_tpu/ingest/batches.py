@@ -205,7 +205,14 @@ def expand_spans(batch: ReadBatch) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 
     Uses segment-id cumsum + sequential gathers instead of np.repeat — the
     repeat path pays per-segment overhead on millions of short spans."""
-    lens = batch.span_len.astype(np.int64)
+    return expand_span_range(batch, 0, len(batch.span_len))
+
+
+def expand_span_range(batch: ReadBatch, lo: int, hi: int
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """expand_spans restricted to spans [lo, hi) — the chunked form used to
+    bound event-array memory on long chromosomes."""
+    lens = batch.span_len[lo:hi].astype(np.int64)
     total = int(lens.sum())
     nspan = len(lens)
     if total == 0 or nspan == 0:
@@ -216,8 +223,8 @@ def expand_spans(batch: ReadBatch) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     segd = np.zeros(total, np.int32)
     segd[starts[1:]] = 1
     seg = np.cumsum(segd, dtype=np.int32)          # span id per base
-    rid = batch.span_read.astype(np.int32)[seg]
+    rid = batch.span_read[lo:hi].astype(np.int32)[seg]
     within = np.arange(total, dtype=np.int32) - starts.astype(np.int32)[seg]
-    refpos = batch.span_ref.astype(np.int32)[seg] + within
-    readidx = batch.span_readoff.astype(np.int32)[seg] + within
+    refpos = batch.span_ref[lo:hi].astype(np.int32)[seg] + within
+    readidx = batch.span_readoff[lo:hi].astype(np.int32)[seg] + within
     return rid, refpos, readidx
