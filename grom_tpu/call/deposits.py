@@ -351,6 +351,186 @@ def _apply_spans(dst, L, starts, ends, weights):
 def run_deposits(chrom_len: int, batch: ReadBatch, chr_name_lower: str,
                  cfg: GromConfig, drv: DerivedConfig,
                  scan_start: int) -> Tuple[DenseArrays, EvidenceState]:
+    """Replay every kept read's deposits. Returns dense arrays + typed state.
+
+    Dispatches to the native C engine (native/grom_deposits.c) when available
+    — bit-identical by differential test — with this Python implementation as
+    the reference fallback."""
+    res = run_deposits_native(chrom_len, batch, chr_name_lower, cfg, drv,
+                              scan_start)
+    if res is not None:
+        return res
+    return run_deposits_py(chrom_len, batch, chr_name_lower, cfg, drv,
+                           scan_start)
+
+
+def _parse_aux_arrays(batch: ReadBatch, target_prefix: bytes,
+                      eligible: np.ndarray):
+    """Per-read parsed SA-tag fields for the native engine (the aux fields of
+    run_deposits_py's inner loop, hoisted)."""
+    R = len(batch.pos)
+    m = np.zeros(R, np.uint8)
+    a_pos = np.zeros(R, np.int64)
+    a_strand = np.zeros(R, np.uint8)
+    a_mapq = np.zeros(R, np.int32)
+    a_sadj = np.zeros(R, np.int32)
+    a_eadj = np.zeros(R, np.int32)
+    a_eadj_i = np.zeros(R, np.int32)
+    tags = batch.reads.sa_tags
+    if tags:
+        for i in np.flatnonzero(eligible):
+            aux = parse_aux(tags[i])
+            if aux is not None and aux.chrom.lower().startswith(target_prefix):
+                m[i] = 1
+                a_pos[i] = aux.pos
+                a_strand[i] = aux.strand
+                a_mapq[i] = aux.mapq
+                a_sadj[i] = aux.start_adj
+                a_eadj[i] = aux.end_adj
+                a_eadj_i[i] = aux.end_adj_indel
+    return m, a_pos, a_strand, a_mapq, a_sadj, a_eadj, a_eadj_i
+
+
+def run_deposits_native(chrom_len: int, batch: ReadBatch,
+                        chr_name_lower: str, cfg: GromConfig,
+                        drv: DerivedConfig, scan_start: int
+                        ) -> Optional[Tuple[DenseArrays, EvidenceState]]:
+    """Native fast path; None when the library is unavailable or the engine
+    bails (unsorted input / window overflow)."""
+    import ctypes
+
+    from grom_tpu.native import DepOut, get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gn_deposits_run"):
+        return None
+    reads = batch.reads
+    R = len(batch.pos)
+    eligible = (batch.keep & (batch.pos >= scan_start)).astype(np.uint8)
+    aux = _parse_aux_arrays(batch, chr_name_lower.encode(),
+                            eligible.astype(bool) if cfg.splitread
+                            else np.zeros(R, bool))
+
+    L = chrom_len
+    # span-diff arrays are length L+1 (C applies ±diffs then prefix-sums)
+    diff = [np.zeros(L + 1, np.int64) for _ in range(5)]
+    point = [np.zeros(L, np.int64) for _ in range(17)]
+    dense_arrays = diff + point
+    dense_ptrs = (ctypes.c_void_p * 22)(
+        *[a.ctypes.data_as(ctypes.c_void_p).value for a in dense_arrays])
+
+    params_i = np.array([
+        chrom_len, drv.insert_max, drv.insert_min, drv.insert_mean,
+        cfg.sc_min, cfg.min_mapq, cfg.max_split_loss, cfg.min_sr_len,
+        drv.read_len, cfg.indel_i_seq_len, 1 if cfg.splitread else 0,
+        int(reads.refid[0]) if R else 0,
+    ], np.int64)
+    params_d = np.array([float(drv.insert_max - drv.insert_min)], np.float64)
+
+    def P(a, dt):
+        a = np.ascontiguousarray(a, dt)
+        return a, a.ctypes.data_as(ctypes.c_void_p)
+
+    holds = []
+
+    def p(a, dt):
+        arr, ptr = P(a, dt)
+        holds.append(arr)
+        return ptr
+
+    out = ctypes.POINTER(DepOut)()
+    rc = lib.gn_deposits_run(
+        ctypes.c_long(R),
+        p(batch.pos, np.int64), p(batch.flag, np.int32),
+        p(batch.mapq, np.int32), p(batch.mchr, np.int32),
+        p(batch.mpos, np.int64), p(batch.tlen, np.int64),
+        p(batch.lseq, np.int64), p(batch.start_adj, np.int64),
+        p(batch.end_adj, np.int64), p(batch.end_adj_indel, np.int64),
+        p(batch.add, np.int32), p(eligible, np.uint8),
+        p(reads.cigar, np.uint32), p(reads.cigar_off, np.int64),
+        p(aux[0], np.uint8), p(aux[1], np.int64), p(aux[2], np.uint8),
+        p(aux[3], np.int32), p(aux[4], np.int32), p(aux[5], np.int32),
+        p(aux[6], np.int32),
+        params_i.ctypes.data_as(ctypes.c_void_p),
+        params_d.ctypes.data_as(ctypes.c_void_p),
+        dense_ptrs, ctypes.byref(out))
+    if rc != 0:
+        return None
+
+    try:
+        o = out.contents
+        n_p, n_o = o.n_prim, o.n_other
+        as_np = lambda ptr, n, dt: (np.ctypeslib.as_array(ptr, shape=(n,))
+                                    .astype(dt, copy=True) if n else
+                                    np.empty(0, dt))
+        pp = as_np(o.prim_pos, n_p, np.int64)
+        pe = as_np(o.prim_etype, n_p, np.int32)
+        pc = as_np(o.prim_count, n_p, np.int32)
+        pd = as_np(o.prim_dist, n_p, np.float64)
+        prs = as_np(o.prim_rs, n_p, np.int64)
+        pre = as_np(o.prim_re, n_p, np.int64)
+        pm = as_np(o.prim_mchr, n_p, np.int32)
+        psr = as_np(o.prim_seq_read, n_p, np.int32)
+        pso = as_np(o.prim_seq_off, n_p, np.int32)
+        psl = as_np(o.prim_seq_len, n_p, np.int32)
+        op_ = as_np(o.oth_pos, n_o, np.int64)
+        ot = as_np(o.oth_type, n_o, np.int32)
+        oc = as_np(o.oth_count, n_o, np.int32)
+        od = as_np(o.oth_dist, n_o, np.float64)
+        ors = as_np(o.oth_rs, n_o, np.int64)
+        ore = as_np(o.oth_re, n_o, np.int64)
+        om = as_np(o.oth_mchr, n_o, np.int32)
+    finally:
+        lib.gn_deposits_free(out)
+
+    st = EvidenceState()
+    primary = st.primary
+    seq_buf = reads.seq
+    seq_off_arr = reads.seq_off
+    for i in range(n_p):
+        p_ = Primary()
+        p_.count = int(pc[i])
+        p_.dist = float(pd[i])
+        p_.rs = int(prs[i])
+        p_.re = int(pre[i])
+        p_.mchr = int(pm[i])
+        if psr[i] >= 0:
+            s0 = int(seq_off_arr[psr[i]]) + int(pso[i])
+            p_.seq = seq_buf[s0:s0 + int(psl[i])].tobytes()
+        primary[(int(pe[i]), int(pp[i]))] = p_
+    other = st.other
+    for i in range(n_o):
+        s_ = OtherSlot()
+        s_.count = int(oc[i])
+        s_.type = int(ot[i])
+        s_.dist = float(od[i])
+        s_.rs = int(ors[i])
+        s_.re = int(ore[i])
+        s_.mchr = int(om[i])
+        pos_i = int(op_[i])
+        sl = other.get(pos_i)
+        if sl is None:
+            other[pos_i] = [s_]
+        else:
+            sl.append(s_)
+
+    d = diff
+    dense = DenseArrays(
+        chr_len=L, rd=d[0][:L], conc=d[1][:L], ins=d[2][:L],
+        munmapped_f=d[3][:L], munmapped_r=d[4][:L],
+        sc_left=point[0], sc_right=point[1], sc_left_rd=point[2],
+        sc_right_rd=point[3], sc_rd=point[4],
+        ctx_sc_left=point[5], ctx_sc_right=point[6], ctx_sc_left_rd=point[7],
+        ctx_sc_right_rd=point[8], ctx_sc_rd=point[9],
+        indel_sc_left=point[10], indel_sc_right=point[11],
+        indel_sc_left_rd=point[12], indel_sc_right_rd=point[13],
+        indel_sc_rd=point[14], indel_d_f_rd=point[15], indel_d_r_rd=point[16],
+    )
+    return dense, st
+
+
+def run_deposits_py(chrom_len: int, batch: ReadBatch, chr_name_lower: str,
+                    cfg: GromConfig, drv: DerivedConfig,
+                    scan_start: int) -> Tuple[DenseArrays, EvidenceState]:
     """Replay every kept read's deposits. Returns dense arrays + typed state."""
     dense = DenseArrays.zeros(chrom_len)
     st = EvidenceState()

@@ -132,11 +132,67 @@ def accumulate_chromosome(chrom: np.ndarray, batch: ReadBatch,
     # start are consumed without deposits, src/GROM.c:6406)
     eligible = batch.keep & (batch.pos >= scan_start)
 
+    if _accumulate_native(arr, chrom, batch, eligible, cfg):
+        return arr
     _accumulate_rd_lists(arr, batch, eligible, cfg)
     _accumulate_snv(arr, chrom, batch, eligible, cfg)
     # one_base_rd / indel_sc_rd / sc_rd come from the full deposit engine
     # (call/deposits.py) — the driver wires them in.
     return arr
+
+
+def _accumulate_native(arr: ChromArrays, chrom, batch, eligible, cfg) -> bool:
+    """Native single-pass tally (native/grom_scan.c). True on success.
+    Bit-identical to the Python path by tests/test_native_scan.py."""
+    import ctypes
+
+    from grom_tpu.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gn_snv_accumulate"):
+        return False
+    reads = batch.reads
+    names = reads.names
+    R = len(batch.pos)
+    if not names or len(names) != R:
+        return False
+    narr = np.asarray(names)
+    _, name_id = np.unique(narr, return_inverse=True)
+    name_id = name_id.astype(np.int32)
+    name_len = np.char.str_len(narr).clip(0, 255).astype(np.uint8)
+
+    L = arr.chr_len
+    params = np.array([L, cfg.min_mapq, cfg.min_base_qual, cfg.min_snv, 50],
+                      np.int64)
+
+    holds = []
+
+    def p(a, dt):
+        a = np.ascontiguousarray(a, dt)
+        holds.append(a)
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    def outp(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    rc = lib.gn_snv_accumulate(
+        ctypes.c_long(len(batch.span_len)),
+        p(batch.span_read, np.int32), p(batch.span_ref, np.int64),
+        p(batch.span_readoff, np.int64), p(batch.span_len, np.int64),
+        p(eligible, np.uint8),
+        p(batch.mapq, np.int32), p(batch.flag, np.int32),
+        p(batch.lseq, np.int64),
+        p(reads.seq_off, np.int64), p(reads.seq, np.uint8),
+        p(reads.qual, np.uint8),
+        p(name_id, np.int32), p(name_len, np.uint8),
+        p(chrom, np.uint8),
+        params.ctypes.data_as(ctypes.c_void_p),
+        outp(arr.snv), outp(arr.snv_lowmq),
+        outp(arr.bq), outp(arr.bq_all), outp(arr.mq), outp(arr.mq_all),
+        outp(arr.bq_read_count), outp(arr.mq_read_count),
+        outp(arr.read_count_all),
+        outp(arr.pos_in_read), outp(arr.fstrand),
+        outp(arr.rd_mq), outp(arr.rd_hi), outp(arr.rd_lo))
+    return rc == 0
 
 
 def _accumulate_rd_lists(arr, batch, eligible, cfg):

@@ -204,11 +204,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     cfg = parse_args(sys.argv[1:] if argv is None else argv)
     if cfg is None:
         return 1
-    if cfg.processes > 1:
-        run_parallel(cfg)
-    else:
-        from grom_tpu.driver import run
-        run(cfg)
+    try:
+        if cfg.processes > 1:
+            run_parallel(cfg)
+        else:
+            from grom_tpu.driver import run
+            run(cfg)
+    except FileNotFoundError as exc:
+        # clean message instead of a traceback (the reference prints
+        # "Error opening file %s", src/GROM.c:22116-22143)
+        print("Error opening file %s" % (exc.filename or exc))
+        return 1
     return 0
 
 

@@ -135,27 +135,52 @@ def _ctx_path(out_vcf: str) -> str:
     return out_vcf + ".ctx"
 
 
+def _gather_ragged(data: np.ndarray, off: np.ndarray, sel: np.ndarray
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Gather ragged rows data[off[i]:off[i+1]] for i in sel (vectorized)."""
+    lens = (off[sel + 1] - off[sel]).astype(np.int64)
+    out_off = np.zeros(len(sel) + 1, np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    total = int(out_off[-1])
+    if total == 0:
+        return np.empty(0, data.dtype), out_off
+    # segment ids: +1 at each non-empty row start (rows may be empty)
+    starts = out_off[:-1][lens > 0]
+    marks = np.zeros(total + 1, np.int64)
+    np.add.at(marks, starts, 1)
+    seg = np.cumsum(marks[:total]) - 1
+    row = np.flatnonzero(lens > 0)[seg]
+    idx = off[sel[row]] + (np.arange(total, dtype=np.int64) - out_off[:-1][row])
+    return data[idx], out_off
+
+
 def _subset_reads(reads: bam_mod.RawReads, sel: np.ndarray) -> bam_mod.RawReads:
-    cig_parts = [reads.cigar[reads.cigar_off[i]:reads.cigar_off[i + 1]] for i in sel]
-    seq_parts = [reads.seq[reads.seq_off[i]:reads.seq_off[i + 1]] for i in sel]
-    qual_parts = [reads.qual[reads.seq_off[i]:reads.seq_off[i + 1]] for i in sel]
-    n_cig = np.array([len(c) for c in cig_parts], dtype=np.int64)
-    n_seq = reads.lseq[sel].astype(np.int64)
-    cigar_off = np.zeros(len(sel) + 1, np.int64)
-    np.cumsum(n_cig, out=cigar_off[1:])
-    seq_off = np.zeros(len(sel) + 1, np.int64)
-    np.cumsum(n_seq, out=seq_off[1:])
+    sel = np.asarray(sel, np.int64)
+    n = len(sel)
+    if n and sel[0] + n - 1 == sel[-1] and sel[-1] - sel[0] == n - 1:
+        # contiguous selection (the common case: coordinate-sorted BAM)
+        s0, s1 = int(sel[0]), int(sel[-1]) + 1
+        c0, c1 = int(reads.cigar_off[s0]), int(reads.cigar_off[s1])
+        q0, q1 = int(reads.seq_off[s0]), int(reads.seq_off[s1])
+        cigar = reads.cigar[c0:c1]
+        cigar_off = reads.cigar_off[s0:s1 + 1] - c0
+        seq = reads.seq[q0:q1]
+        qual = reads.qual[q0:q1]
+        seq_off = reads.seq_off[s0:s1 + 1] - q0
+        names = reads.names[s0:s1] if reads.names else []
+        sa_tags = reads.sa_tags[s0:s1] if reads.sa_tags else []
+    else:
+        cigar, cigar_off = _gather_ragged(reads.cigar, reads.cigar_off, sel)
+        seq, seq_off = _gather_ragged(reads.seq, reads.seq_off, sel)
+        qual, _ = _gather_ragged(reads.qual, reads.seq_off, sel)
+        names = [reads.names[i] for i in sel] if reads.names else []
+        sa_tags = [reads.sa_tags[i] for i in sel] if reads.sa_tags else []
     return bam_mod.RawReads(
         refid=reads.refid[sel], pos=reads.pos[sel], mapq=reads.mapq[sel],
         flag=reads.flag[sel], mrefid=reads.mrefid[sel], mpos=reads.mpos[sel],
         tlen=reads.tlen[sel], lseq=reads.lseq[sel],
-        cigar=np.concatenate(cig_parts) if cig_parts else np.empty(0, np.uint32),
-        cigar_off=cigar_off,
-        seq=np.concatenate(seq_parts) if seq_parts else np.empty(0, np.uint8),
-        qual=np.concatenate(qual_parts) if qual_parts else np.empty(0, np.uint8),
-        seq_off=seq_off,
-        names=[reads.names[i] for i in sel] if reads.names else [],
-        sa_tags=[reads.sa_tags[i] for i in sel] if reads.sa_tags else [],
+        cigar=cigar, cigar_off=cigar_off, seq=seq, qual=qual, seq_off=seq_off,
+        names=names, sa_tags=sa_tags,
     )
 
 

@@ -41,6 +41,30 @@ def _build() -> bool:
         return False
 
 
+class DepOut(ctypes.Structure):
+    """Mirrors gn_dep_out in native/grom_deposits.c."""
+    _fields_ = [
+        ("n_prim", ctypes.c_long), ("n_other", ctypes.c_long),
+        ("prim_pos", ctypes.POINTER(ctypes.c_int64)),
+        ("prim_etype", ctypes.POINTER(ctypes.c_int32)),
+        ("prim_count", ctypes.POINTER(ctypes.c_int32)),
+        ("prim_dist", ctypes.POINTER(ctypes.c_double)),
+        ("prim_rs", ctypes.POINTER(ctypes.c_int64)),
+        ("prim_re", ctypes.POINTER(ctypes.c_int64)),
+        ("prim_mchr", ctypes.POINTER(ctypes.c_int32)),
+        ("prim_seq_read", ctypes.POINTER(ctypes.c_int32)),
+        ("prim_seq_off", ctypes.POINTER(ctypes.c_int32)),
+        ("prim_seq_len", ctypes.POINTER(ctypes.c_int32)),
+        ("oth_pos", ctypes.POINTER(ctypes.c_int64)),
+        ("oth_type", ctypes.POINTER(ctypes.c_int32)),
+        ("oth_count", ctypes.POINTER(ctypes.c_int32)),
+        ("oth_dist", ctypes.POINTER(ctypes.c_double)),
+        ("oth_rs", ctypes.POINTER(ctypes.c_int64)),
+        ("oth_re", ctypes.POINTER(ctypes.c_int64)),
+        ("oth_mchr", ctypes.POINTER(ctypes.c_int32)),
+    ]
+
+
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     L = ctypes.c_long
     I = ctypes.c_int
@@ -53,6 +77,13 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.gn_bam_count.argtypes = [P, L, L, P, I]
     lib.gn_bam_fill.restype = L
     lib.gn_bam_fill.argtypes = [P, L, L] + [P] * 18 + [I, I]
+    lib.gn_deposits_run.restype = I
+    lib.gn_deposits_run.argtypes = [L] + [P] * 21 + \
+        [P, P, P, ctypes.POINTER(ctypes.POINTER(DepOut))]
+    lib.gn_deposits_free.restype = None
+    lib.gn_deposits_free.argtypes = [ctypes.POINTER(DepOut)]
+    lib.gn_snv_accumulate.restype = I
+    lib.gn_snv_accumulate.argtypes = [L] + [P] * 29
     return lib
 
 

@@ -1,0 +1,187 @@
+/* grom_tpu native per-base SNV/depth accumulation.
+ *
+ * Native fast path for grom_tpu/call/scan.py:accumulate_chromosome — the
+ * per-base tally half of the reference's scan loop (SNV counts with quality
+ * split and read-name dedup, src/GROM.c:6757-6984; caf_rd_* depth lists,
+ * src/GROM.c:6605-6664).  Semantics are defined by the Python implementation;
+ * tests/test_native_scan.py checks bit equality of every output array.
+ *
+ * Read names are interned to int32 ids by the caller (np.unique — exact
+ * equality, no hashing); the per-position dedup slots hold up to `max_slots`
+ * ids in arrival order, living in a generation-tagged ring sized by the max
+ * cigar reference span (a position can only be revisited while some live
+ * read overlaps it, and reads arrive coordinate-sorted).
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define GN_API __attribute__((visibility("default")))
+
+#define MAX_DEDUP_SLOTS 16
+
+typedef struct {
+    int64_t gen;
+    int32_t n;
+    int32_t nids[MAX_DEDUP_SLOTS];
+} dslot;
+
+enum {
+    SP_L = 0, SP_MIN_MAPQ, SP_MIN_BQ, SP_MAX_SLOTS, SP_NAME_LEN_CAP, N_SP
+};
+
+/* returns 0 ok; 1 = caller must fall back (unsorted spans / cap too big) */
+GN_API int gn_snv_accumulate(
+    long n_span,
+    const int32_t *span_read, const int64_t *span_ref,
+    const int64_t *span_readoff, const int64_t *span_len,
+    const uint8_t *elig,
+    const int32_t *mapq_a, const int32_t *flag_a, const int64_t *lseq_a,
+    const int64_t *seq_off, const uint8_t *seq, const uint8_t *qual,
+    const int32_t *name_id, const uint8_t *name_len,
+    const uint8_t *chrom,
+    const int64_t *params,
+    int32_t *snv, int32_t *snv_lowmq,
+    int64_t *bq, int64_t *bq_all, int64_t *mq_sum, int64_t *mq_all,
+    int32_t *bq_read_count, int32_t *mq_read_count, int32_t *read_count_all,
+    int64_t *pos_in_read, int64_t *fstrand,
+    int64_t *rd_mq, int32_t *rd_hi, int32_t *rd_lo) {
+
+    const int64_t L = params[SP_L];
+    const int64_t min_mapq = params[SP_MIN_MAPQ];
+    const int64_t min_bq = params[SP_MIN_BQ];
+    const int32_t max_slots = (int32_t)params[SP_MAX_SLOTS];
+    const int64_t name_len_cap = params[SP_NAME_LEN_CAP];
+    if (max_slots > MAX_DEDUP_SLOTS)
+        return 1;
+
+    int8_t code_of[256];
+    memset(code_of, -1, sizeof(code_of));
+    code_of['A'] = code_of['a'] = 0;
+    code_of['C'] = code_of['c'] = 1;
+    code_of['G'] = code_of['g'] = 2;
+    code_of['T'] = code_of['t'] = 3;
+
+    /* ring sized by the max cigar ref span among eligible spans */
+    int64_t max_span = 1;
+    for (long s = 0; s < n_span; s++)
+        if (span_len[s] > max_span)
+            max_span = span_len[s];
+    int64_t W = 1;
+    while (W < max_span + 2)
+        W <<= 1;
+    dslot *ring = (dslot *)malloc((size_t)W * sizeof(dslot));
+    if (!ring)
+        return 1;
+    for (int64_t i = 0; i < W; i++)
+        ring[i].gen = -1;
+    const int64_t wmask = W - 1;
+
+    for (long s = 0; s < n_span; s++) {
+        int32_t rid = span_read[s];
+        if (!elig[rid])
+            continue;
+        const int64_t ref0 = span_ref[s];
+        const int64_t roff = span_readoff[s];
+        const int64_t ln = span_len[s];
+        const int32_t mq = mapq_a[rid];
+        const int fwd = !(flag_a[rid] & 16);
+        const int64_t lseq = lseq_a[rid];
+        const uint8_t *rseq = seq + seq_off[rid];
+        const uint8_t *rq = qual + seq_off[rid];
+        const int hi_mq = mq >= min_mapq;
+        const int32_t nid = name_id[rid];
+        const int nm_short = name_len[rid] < name_len_cap;
+
+        for (int64_t j = 0; j < ln; j++) {
+            const int64_t p = ref0 + j;
+            if (p < 0 || p >= L)
+                continue;                     /* gate */
+            const int64_t ridx = roff + j;
+            const uint8_t b = rseq[ridx];
+            const int64_t q = rq[ridx];
+            const int c = code_of[b];
+            const int hi = hi_mq && q >= min_bq;
+            uint8_t rb = chrom[p];
+            if (rb >= 97)
+                rb -= 32;
+            const int mm = (rb != b);
+
+            int skip = 0;
+            if (hi && mm) {
+                dslot *d = &ring[p & wmask];
+                if (d->gen != p) {
+                    d->gen = p;
+                    d->n = 0;
+                }
+                int found = 0;
+                for (int32_t k = 0; k < d->n; k++) {
+                    if (d->nids[k] == nid) {
+                        found = 1;
+                        break;
+                    }
+                }
+                if (found) {
+                    skip = 1;
+                } else if (d->n < max_slots) {
+                    if (nm_short)
+                        d->nids[d->n++] = nid;
+                }
+            }
+            if (hi) {
+                if (!skip && c >= 0) {
+                    snv[(int64_t)c * L + p] += 1;
+                    bq[p] += q;
+                    bq_all[p] += q;
+                    mq_sum[p] += mq;
+                    mq_all[p] += mq;
+                    bq_read_count[p] += 1;
+                    mq_read_count[p] += 1;
+                    read_count_all[p] += 1;
+                    if (fwd)
+                        fstrand[(int64_t)c * L + p] += 1;
+                    const int64_t pir = (mm || fwd) ? ridx : lseq - ridx;
+                    pos_in_read[(int64_t)c * L + p] += pir;
+                }
+            } else if (c >= 0) {
+                snv_lowmq[(int64_t)c * L + p] += 1;
+                bq_all[p] += q;
+                mq_all[p] += mq;
+                read_count_all[p] += 1;
+            }
+        }
+
+        /* caf_rd_* depth lists: whole-span rule (src/GROM.c:6605-6664) —
+         * deposited only when ref0 >= 0 and ref0 + ln < L (strict) */
+        if (ref0 >= 0 && ref0 + ln < L) {
+            rd_mq[ref0] += mq;
+            rd_mq[ref0 + ln] -= mq;
+            if (hi_mq) {
+                rd_hi[ref0] += 1;
+                rd_hi[ref0 + ln] -= 1;
+            } else {
+                rd_lo[ref0] += 1;
+                rd_lo[ref0 + ln] -= 1;
+            }
+        }
+    }
+    free(ring);
+
+    /* prefix sums for the rd lists */
+    {
+        int64_t acc = 0;
+        for (int64_t p = 0; p < L; p++) {
+            acc += rd_mq[p];
+            rd_mq[p] = acc;
+        }
+        int32_t a1 = 0, a2 = 0;
+        for (int64_t p = 0; p < L; p++) {
+            a1 += rd_hi[p];
+            rd_hi[p] = a1;
+            a2 += rd_lo[p];
+            rd_lo[p] = a2;
+        }
+    }
+    return 0;
+}
