@@ -522,11 +522,17 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
         vi = np.flatnonzero(valid)
         if len(vi) == 0:
             continue
-        keys = np.stack([cls_v[vi], gcv[vi], depth[sl][vi]], axis=1)
-        ukeys, inv = np.unique(keys, axis=0, return_inverse=True)
+        # composite scalar key (cls,gc,depth) — np.unique on int64 is far
+        # cheaper than axis=0 row dedup
+        d_v = depth[sl][vi].astype(np.int64)
+        dspan = int(d_v.max()) + 1 if len(d_v) else 1
+        skeys = (cls_v[vi].astype(np.int64) * 101 + gcv[vi]) * dspan + d_v
+        ukeys, inv = np.unique(skeys, return_inverse=True)
         base = np.empty(len(ukeys))
-        for k, (cls, g, d) in enumerate(ukeys):
-            cls, g, d = int(cls), int(g), int(d)
+        for k, key in enumerate(ukeys):
+            d = int(key % dspan)
+            g = int((key // dspan) % 101)
+            cls = int(key // (dspan * 101))
             arr = hi_arr[g] if cls == 0 else lo_arr[g]
             n = hi_n[g] if cls == 0 else lo_n[g]
             if cfg.ranks_stdev == 0:
@@ -791,6 +797,51 @@ def _null_window_model(prep, depth, mq, gc, nwin, low_acgt, stdev_list, cfg, L):
     return win_std
 
 
+def _window_scan_native(blocks, depth, mq, gc, nwin, low_acgt, stdev_list,
+                        thr, win_std, cfg, L, side: int
+                        ) -> Optional[List[CnvCall]]:
+    """Native C scan (native/grom_cnv.c), bit-identical to
+    :func:`_window_scan_ref`. None when unavailable."""
+    import ctypes
+
+    from grom_tpu.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gn_cnv_window_scan"):
+        return None
+    holds = []
+
+    def p(a, dt):
+        a = np.ascontiguousarray(a, dt)
+        holds.append(a)
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    cap = 1 << 16
+    out_s = np.empty(cap, np.int64)
+    out_e = np.empty(cap, np.int64)
+    out_sd = np.empty(cap, np.float64)
+    calls: List[CnvCall] = []
+    for (bs, be0) in blocks:
+        params = np.array([L, cfg.min_mapq, cfg.min_rd_window_len,
+                           cfg.max_rd_window_len, side, bs, be0], np.int64)
+        dparams = np.array([cfg.max_rd_low_acgt_or_windows, 3.0], np.float64)
+        n = lib.gn_cnv_window_scan(
+            p(depth, np.int64), p(mq, np.float64), p(gc, np.int64),
+            p(nwin, np.int64), p(low_acgt, np.int64),
+            p(stdev_list, np.float64), p(thr, np.float64),
+            p(win_std, np.float64),
+            params.ctypes.data_as(ctypes.c_void_p),
+            dparams.ctypes.data_as(ctypes.c_void_p),
+            out_s.ctypes.data_as(ctypes.c_void_p),
+            out_e.ctypes.data_as(ctypes.c_void_p),
+            out_sd.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_long(cap))
+        if n < 0:
+            return None
+        calls.extend(CnvCall(int(out_s[i]), int(out_e[i]), float(out_sd[i]))
+                     for i in range(n))
+    return calls
+
+
 def _window_scan(blocks, depth, mq, gc, nwin, low_acgt, stdev_list,
                  thr, win_std, cfg, L, side: int) -> List[CnvCall]:
     """Vectorized window growth scan, semantically identical to
@@ -803,6 +854,10 @@ def _window_scan(blocks, depth, mq, gc, nwin, low_acgt, stdev_list,
     ``mq_index``/``last_low`` state), and the minw/grow inner loops are
     evaluated as cumulative-sum array expressions per seed. The rare
     slide/trim phases stay as direct loops."""
+    nat = _window_scan_native(blocks, depth, mq, gc, nwin, low_acgt,
+                              stdev_list, thr, win_std, cfg, L, side)
+    if nat is not None:
+        return nat
     minw = cfg.min_rd_window_len
     maxw = cfg.max_rd_window_len
     min_sd = 3.0  # g_one_base_read_depth_min_rd_low_stdev

@@ -84,6 +84,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.gn_deposits_free.argtypes = [ctypes.POINTER(DepOut)]
     lib.gn_snv_accumulate.restype = I
     lib.gn_snv_accumulate.argtypes = [L] + [P] * 29
+    lib.gn_cnv_window_scan.restype = L
+    lib.gn_cnv_window_scan.argtypes = [P] * 13 + [L]
     return lib
 
 
