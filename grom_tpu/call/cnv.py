@@ -145,23 +145,22 @@ def preprocess_reference(chrom: np.ndarray, insert_mean: int,
             a, b = pair[0], pair[1]
             m_ = ((b0 == a) & (b1 == b)) | ((b0 == b) & (b1 == a))
             pair_code[lo:hi][m_] = t
-        # runs of identical type (<10), recorded when length-1 >= min_repeat-1
-        cur_t = 10
-        r_start = r_end = 0
-        for p in range(lo, hi):
-            t = int(pair_code[p])
-            if t != cur_t or t == 10:
-                if r_end > 0 and r_end - r_start >= min_repeat - 1:
-                    r_starts.append(r_start)
-                    r_ends.append(r_end + 1)
-                    r_types.append(cur_t)
-                if t == 10:
-                    r_start = r_end = 0
-                else:
-                    r_start = r_end = p
-            else:
-                r_end = p
-            cur_t = t
+        # runs of identical type (<10), recorded when length-1 >= min_repeat-1.
+        # Vectorized RLE of the per-base state machine; a run reaching the
+        # last scanned position never closes and is dropped, like the
+        # sequential scan (src/GROM.c:1727-1764).
+        pc = pair_code[lo:hi]
+        n = hi - lo
+        if n > 1:
+            change = np.flatnonzero(np.diff(pc.astype(np.int16)) != 0) + 1
+            starts = np.concatenate([[0], change])
+            ends = np.concatenate([change, [n]])
+            types = pc[starts]
+            valid = (types < 10) & (ends < n) & \
+                (ends - starts - 1 >= min_repeat - 1)
+            r_starts = list(lo + starts[valid])
+            r_ends = list(lo + ends[valid])
+            r_types = list(types[valid].astype(np.int64))
     return RefFeatures(gc_w, ac_w, np.array(r_types, dtype=np.int64),
                        np.array(r_starts, dtype=np.int64),
                        np.array(r_ends, dtype=np.int64))
@@ -413,27 +412,48 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
     lo_all = np.zeros(NB, dtype=np.int64)
     last_low = 0
     stride = m // 2
-    for (bs, be) in prep.lowvar_blocks:
-        for pos in range(bs, be, stride):
-            if acgt[pos] < 99:
-                continue
-            d = int(depth[pos])
-            g = int(gc[pos])
-            if d == 0:
-                cls = last_low
-            elif mq[pos] >= cfg.min_mapq:
-                cls = 0
-                last_low = 0
-            else:
-                cls = 1
-                last_low = 1
-            samp, alls = (hi_samp, hi_all) if cls == 0 else (lo_samp, lo_all)
-            if len(samp[g]) < cap:
-                samp[g].append(d)
-            else:
-                if rng.integers(alls[g]) == 0:
-                    samp[g][rng.integers(len(samp[g]))] = d
-            alls[g] += 1
+    # vectorized fast path: stride positions, acgt gate, sticky-class
+    # forward fill; bins below the reservoir cap keep samples in position
+    # order, so the result is identical to the sequential loop. Bins that
+    # overflow the cap need the sequential reservoir (rare: cap=100k).
+    P = np.concatenate([np.arange(bs, be, stride, dtype=np.int64)
+                        for (bs, be) in prep.lowvar_blocks]) \
+        if prep.lowvar_blocks else np.empty(0, np.int64)
+    if len(P):
+        P = P[acgt[P] >= 99]
+    if len(P):
+        d_v = depth[P]
+        defc = np.where(d_v == 0, -1,
+                        np.where(mq[P] >= cfg.min_mapq, 0, 1))
+        fi = np.where(defc >= 0, np.arange(len(P)), -1)
+        np.maximum.accumulate(fi, out=fi)
+        cls_v = np.where(defc >= 0, defc,
+                         np.where(fi >= 0, defc[np.maximum(fi, 0)], 0))
+        g_v = gc[P]
+        key = cls_v * NB + g_v
+        bincnt = np.bincount(key, minlength=2 * NB)
+        if bincnt.max(initial=0) <= cap:
+            order = np.argsort(key, kind="stable")
+            ks = key[order]
+            ds = d_v[order]
+            bounds = np.searchsorted(ks, np.arange(2 * NB + 1))
+            for g in range(NB):
+                hi_samp[g] = list(ds[bounds[g]:bounds[g + 1]])
+                lo_samp[g] = list(ds[bounds[NB + g]:bounds[NB + g + 1]])
+            hi_all[:] = bincnt[:NB]
+            lo_all[:] = bincnt[NB:]
+        else:
+            for i in range(len(P)):
+                d = int(d_v[i])
+                g = int(g_v[i])
+                cls = int(cls_v[i])
+                samp, alls = (hi_samp, hi_all) if cls == 0 else (lo_samp, lo_all)
+                if len(samp[g]) < cap:
+                    samp[g].append(d)
+                else:
+                    if rng.integers(alls[g]) == 0:
+                        samp[g][rng.integers(len(samp[g]))] = d
+                alls[g] += 1
 
     hi_arr = [np.sort(np.array(s, dtype=np.int64)) for s in hi_samp]
     lo_arr = [np.sort(np.array(s, dtype=np.int64)) for s in lo_samp]
@@ -593,15 +613,13 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
     # ---- copy number (src/GROM.c:20052-20250) ----
     for lst in (dels, dups):
         for c in lst:
-            vals = []
-            for p in range(c.start, c.end):
-                if low_acgt[p] == 0:
-                    cls = 0 if mq[p] >= cfg.min_mapq else 1
-                    a = ave[cls, gc[p]]
-                    if a > 0:
-                        vals.append(depth[p] / a)
-            if vals:
-                v = _broken_double_sort(np.array(vals))
+            sl = slice(c.start, c.end)
+            cls_v = (mq[sl] < cfg.min_mapq).astype(np.int64)
+            a_v = ave[cls_v, gc[sl]]
+            sel = (low_acgt[sl] == 0) & (a_v > 0)
+            vals = depth[sl][sel] / a_v[sel]
+            if len(vals):
+                v = _broken_double_sort(np.asarray(vals))
                 t0 = int(0.1 * len(v))
                 t1 = len(v) - t0
                 if t1 - t0 > 0:
