@@ -155,10 +155,14 @@ def _accumulate_native(arr: ChromArrays, chrom, batch, eligible, cfg) -> bool:
     R = len(batch.pos)
     if not names or len(names) != R:
         return False
-    narr = np.asarray(names)
-    _, name_id = np.unique(narr, return_inverse=True)
-    name_id = name_id.astype(np.int32)
-    name_len = np.char.str_len(narr).clip(0, 255).astype(np.uint8)
+    if reads.name_id is not None and reads.name_len is not None:
+        name_id = reads.name_id
+        name_len = reads.name_len
+    else:
+        narr = np.asarray(names)
+        _, name_id = np.unique(narr, return_inverse=True)
+        name_id = name_id.astype(np.int32)
+        name_len = np.char.str_len(narr).clip(0, 255).astype(np.uint8)
 
     L = arr.chr_len
     params = np.array([L, cfg.min_mapq, cfg.min_base_qual, cfg.min_snv, 50],

@@ -181,6 +181,8 @@ def _subset_reads(reads: bam_mod.RawReads, sel: np.ndarray) -> bam_mod.RawReads:
         tlen=reads.tlen[sel], lseq=reads.lseq[sel],
         cigar=cigar, cigar_off=cigar_off, seq=seq, qual=qual, seq_off=seq_off,
         names=names, sa_tags=sa_tags,
+        name_id=reads.name_id[sel] if reads.name_id is not None else None,
+        name_len=reads.name_len[sel] if reads.name_len is not None else None,
     )
 
 

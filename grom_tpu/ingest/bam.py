@@ -84,6 +84,8 @@ class RawReads:
     seq_off: np.ndarray     # int64 [R+1]
     names: List[bytes] = field(default_factory=list)
     sa_tags: List[Optional[bytes]] = field(default_factory=list)  # SA:Z or XP:Z payloads
+    name_id: Optional[np.ndarray] = None   # int32 [R] interned name ids
+    name_len: Optional[np.ndarray] = None  # uint8 [R] min(len, 255)
 
     def __len__(self) -> int:
         return len(self.pos)
@@ -201,9 +203,20 @@ def _decode_records_native(data: bytes, start: int, end: int,
                          1 if want_names else 0, 1 if want_sa else 0)
     if int(r2) != R:
         return None
+    name_id = name_len_a = None
     if want_names and R:
         # each name is NUL-terminated in the flat buffer
         names = names_buf.tobytes()[:-1].split(b"\x00") if tn else [b""] * R
+        if tn and hasattr(lib, "gn_intern_names"):
+            name_id = np.empty(R, np.int32)
+            name_len_a = np.empty(R, np.uint8)
+            nu = lib.gn_intern_names(names_buf.ctypes.data_as(v),
+                                     name_off.ctypes.data_as(v),
+                                     ctypes.c_long(R),
+                                     name_id.ctypes.data_as(v),
+                                     name_len_a.ctypes.data_as(v))
+            if nu < 0:
+                name_id = name_len_a = None
     else:
         names = []
     sa_tags: List[Optional[bytes]] = [None] * R
@@ -212,7 +225,8 @@ def _decode_records_native(data: bytes, start: int, end: int,
         for i in np.flatnonzero(sa_len >= 0):
             sa_tags[i] = sab[sa_off[i]:sa_off[i + 1]]
     return RawReads(refid, pos, mapq, flag, mrefid, mpos, tlen, lseq,
-                    cigar, cigar_off, seq, qual, seq_off, list(names), sa_tags)
+                    cigar, cigar_off, seq, qual, seq_off, list(names), sa_tags,
+                    name_id=name_id, name_len=name_len_a)
 
 
 def decode_records(data: bytes, start: int, end: Optional[int] = None,

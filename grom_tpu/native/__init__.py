@@ -86,6 +86,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.gn_snv_accumulate.argtypes = [L] + [P] * 29
     lib.gn_cnv_window_scan.restype = L
     lib.gn_cnv_window_scan.argtypes = [P] * 13 + [L]
+    lib.gn_intern_names.restype = L
+    lib.gn_intern_names.argtypes = [P, P, L, P, P]
     return lib
 
 

@@ -185,3 +185,54 @@ GN_API int gn_snv_accumulate(
     }
     return 0;
 }
+
+/* ------------------------------------------------------------------ */
+/* Read-name interning                                                */
+/* ------------------------------------------------------------------ */
+
+/* Assign int32 ids to NUL-terminated names in a flat buffer (first-
+ * occurrence order; exact byte equality via open-addressing FNV-1a with
+ * full compare).  out_len gets min(len, 255).  Returns the number of
+ * distinct names, or -1 on allocation failure. */
+GN_API long gn_intern_names(const uint8_t *buf, const int64_t *name_off,
+                            long R, int32_t *out_id, uint8_t *out_len) {
+    if (R == 0)
+        return 0;
+    uint64_t cap = 1;
+    while (cap < (uint64_t)R * 2)
+        cap <<= 1;
+    int64_t *tab = (int64_t *)malloc(cap * sizeof(int64_t)); /* read index */
+    if (!tab)
+        return -1;
+    for (uint64_t i = 0; i < cap; i++)
+        tab[i] = -1;
+    long next_id = 0;
+    for (long i = 0; i < R; i++) {
+        const int64_t o = name_off[i];
+        const int64_t len = name_off[i + 1] - o - 1;  /* excl. NUL */
+        out_len[i] = (uint8_t)(len > 255 ? 255 : (len < 0 ? 0 : len));
+        uint64_t h = 1469598103934665603ull;
+        for (int64_t k = 0; k < len; k++) {
+            h ^= buf[o + k];
+            h *= 1099511628211ull;
+        }
+        uint64_t slot = h & (cap - 1);
+        for (;;) {
+            int64_t j = tab[slot];
+            if (j < 0) {
+                tab[slot] = i;
+                out_id[i] = (int32_t)next_id++;
+                break;
+            }
+            const int64_t jo = name_off[j];
+            const int64_t jlen = name_off[j + 1] - jo - 1;
+            if (jlen == len && memcmp(buf + jo, buf + o, (size_t)len) == 0) {
+                out_id[i] = out_id[j];
+                break;
+            }
+            slot = (slot + 1) & (cap - 1);
+        }
+    }
+    free(tab);
+    return next_id;
+}
