@@ -69,7 +69,8 @@ class DelCandidate:
 def detect_indels(chrom: np.ndarray, arr: ChromArrays, dense: DenseArrays,
                   st: EvidenceState, cfg: GromConfig, drv: DerivedConfig,
                   mq_table: np.ndarray, hez_table: np.ndarray,
-                  scan_start: int, scan_end: int
+                  scan_start: int, scan_end: int,
+                  base_tot: Optional[np.ndarray] = None
                   ) -> Tuple[List[InsCandidate], List[DelCandidate], int]:
     """Returns (ins_candidates, del_candidates, del_list_index).
 
@@ -78,7 +79,9 @@ def detect_indels(chrom: np.ndarray, arr: ChromArrays, dense: DenseArrays,
     """
     af = cfg.add_factor
     thr1 = cfg.pval_threshold1
-    base_tot = (arr.snv.sum(axis=0) + arr.snv_lowmq.sum(axis=0)).astype(np.int64)
+    if base_tot is None:
+        base_tot = (arr.snv.sum(axis=0)
+                    + arr.snv_lowmq.sum(axis=0)).astype(np.int64)
     gate = (dense.rd + dense.indel_sc_rd) > 0
 
     # candidate positions: any position with primary indel evidence

@@ -119,6 +119,72 @@ def detect_snv_candidates(chrom: np.ndarray, arr: ChromArrays,
     )
 
 
+def candidates_from_device(dev: dict, chrom: np.ndarray, cfg: GromConfig,
+                           mq_table: np.ndarray, hez_table: np.ndarray,
+                           scan_start: int, scan_end: int) -> SnvCandidates:
+    """Finish the device SNV screen (ops/accumulate.py): the device returns a
+    SUPERSET of candidate positions with exact integer stats; re-derive the
+    reference's float32 ratio / ave-bq / best-alt decisions here in numpy
+    (bit-identical to detect_snv_candidates)."""
+    n = int(dev["n"])
+    L = len(chrom)
+    lo = max(scan_start, 0)
+    hi = min(scan_end + 1, L)
+    pos = dev["pos"][:n].astype(np.int64)
+    sel0 = np.flatnonzero((pos >= lo) & (pos < hi))
+    if len(sel0) == 0:
+        return _empty_candidates()
+    pos = pos[sel0]
+    counts = dev["counts"][:, :n][:, sel0].astype(np.int64)
+    lowmq = dev["lowmq"][:, :n][:, sel0].astype(np.int64)
+    bq = dev["bq"][:n][sel0].astype(np.int64)
+    bq_all = dev["bq_all"][:n][sel0].astype(np.int64)
+    mq_s = dev["mq"][:n][sel0].astype(np.int64)
+    mq_all = dev["mq_all"][:n][sel0].astype(np.int64)
+    bq_rc = dev["bq_read_count"][:n][sel0].astype(np.int64)
+    mq_rc = dev["mq_read_count"][:n][sel0].astype(np.int64)
+    rc_all = dev["read_count_all"][:n][sel0].astype(np.int64)
+    pir4 = dev["pos_in_read"][:, :n][:, sel0].astype(np.int64)
+    fs4 = dev["fstrand"][:, :n][:, sel0].astype(np.int64)
+
+    ref = chrom[pos]
+    ref_upper = np.where(ref >= 97, ref - 32, ref)
+    not_n = ref_upper != ord("N")
+    ref_code = np.full(len(pos), -1, dtype=np.int8)
+    for i, ch in enumerate(b"ACGT"):
+        ref_code[ref_upper == ch] = i
+
+    total = counts.sum(axis=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = counts.astype(np.float32) / total.astype(np.float32)
+        ave_bq_ok = (bq_all.astype(np.float64)
+                     / rc_all.astype(np.float64)) >= cfg.min_ave_bq
+    is_alt = np.arange(4)[:, None] != ref_code[None, :]
+    qual = (is_alt & (ratio >= np.float32(cfg.min_snv_ratio))
+            & (counts >= cfg.min_snv) & ave_bq_ok[None, :] & not_n[None, :])
+    any_q = qual.any(axis=0)
+    w = np.flatnonzero(any_q)
+    if len(w) == 0:
+        return _empty_candidates()
+    r_masked = np.where(qual[:, w], ratio[:, w], -1.0)
+    best = np.argmax(r_masked, axis=0)
+    k = len(w)
+    from grom_tpu.stats.binom import lookup_cdf
+    binom = lookup_cdf(mq_table, total[w], counts[best, w], cfg.max_trials)
+    hez = lookup_cdf(hez_table, total[w], counts[best, w], cfg.max_trials)
+    kk = np.arange(k)
+    return SnvCandidates(
+        pos=pos[w], alt=best.astype(np.int8),
+        ratio=r_masked[best, kk].astype(np.float64),
+        binom_cdf=binom, hez_cdf=hez,
+        counts=counts[:, w], lowmq=lowmq[:, w],
+        bq_all=bq_all[w], mq_all=mq_all[w], bq=bq[w], mq=mq_s[w],
+        bq_read_count=bq_rc[w], mq_read_count=mq_rc[w],
+        read_count_all=rc_all[w],
+        pos_in_read=pir4[:, w][best, kk], fstrand=fs4[:, w][best, kk],
+    )
+
+
 def _empty_candidates() -> SnvCandidates:
     z = np.empty(0, np.int64)
     z4 = np.empty((4, 0), np.int64)

@@ -205,18 +205,61 @@ def call_chromosome(chrom: np.ndarray, reads: bam_mod.RawReads,
         batch = build_batch(sub, refid, cfg.min_mapq, cfg.add_factor, cfg.rmdup)
     scan_start, scan_end, skipped = scan_mod.scan_bounds(cfg, drv, sub.pos,
                                                          region_start)
-    with phase("scan.accumulate"):
-        arr = scan_mod.accumulate_chromosome(chrom, batch, cfg, drv, scan_start)
     with phase("scan.deposits"):
         dense, ev = run_deposits(len(chrom), batch, out_name, cfg, drv,
                                  scan_start)
-    arr.one_base_rd = dense.rd
-    arr.indel_sc_rd = dense.indel_sc_rd
-    arr.sc_rd = dense.sc_rd
+
+    # engine selection: "tpu" runs the per-base accumulate + SNV screen on
+    # the jax device (ops/accumulate.py — bit-identical integer stats, the
+    # host finishes p-values/emission); "host" (default) uses the native C /
+    # numpy engines. The device path falls back automatically.
+    base_tot = None
+    dev_res = None
+    if os.environ.get("GROM_TPU_ENGINE", "host") == "tpu":
+        with phase("scan.device"):
+            from grom_tpu.ops.accumulate import get_accumulator
+            acc = get_accumulator()
+            if acc is not None:
+                eligible = batch.keep & (batch.pos >= scan_start)
+                gate = dense.rd + dense.indel_sc_rd
+                try:
+                    dev_res = acc.run(chrom, batch, eligible, cfg, gate)
+                except Exception:
+                    dev_res = None
+    if dev_res is not None:
+        base_tot, dev_cand = dev_res
+        L = len(chrom)
+        z0 = np.zeros(0, np.int64)
+        z4 = np.zeros((4, 0), np.int64)
+        arr = scan_mod.ChromArrays(
+            chr_len=L, rd_mq=np.zeros(L, np.int64),
+            rd_hi=np.zeros(L, np.int32), rd_lo=np.zeros(L, np.int32),
+            one_base_rd=dense.rd, indel_sc_rd=dense.indel_sc_rd,
+            sc_rd=dense.sc_rd,
+            snv=z4, snv_lowmq=z4, bq=z0, bq_all=z0, mq=z0, mq_all=z0,
+            bq_read_count=z0, mq_read_count=z0, read_count_all=z0,
+            pos_in_read=z4, fstrand=z4)
+        # caf_rd_* depth lists keep their whole-span boundary rule on the
+        # host (tile-splitting would change it at tile edges)
+        eligible = batch.keep & (batch.pos >= scan_start)
+        scan_mod._accumulate_rd_lists(arr, batch, eligible, cfg)
+        with phase("call.snv"):
+            cands = snv_mod.candidates_from_device(
+                dev_cand, chrom, cfg, mq_table, hez_table,
+                scan_start, scan_end)
+    else:
+        with phase("scan.accumulate"):
+            arr = scan_mod.accumulate_chromosome(chrom, batch, cfg, drv,
+                                                 scan_start)
+        arr.one_base_rd = dense.rd
+        arr.indel_sc_rd = dense.indel_sc_rd
+        arr.sc_rd = dense.sc_rd
+        with phase("call.snv"):
+            cands = snv_mod.detect_snv_candidates(chrom, arr, cfg, mq_table,
+                                                  hez_table, scan_start,
+                                                  scan_end)
 
     with phase("call.snv"):
-        cands = snv_mod.detect_snv_candidates(chrom, arr, cfg, mq_table,
-                                              hez_table, scan_start, scan_end)
         keep = snv_mod.flush_filter(cands, chrom, arr, cfg, drv, scan_start,
                                     scan_end, skipped)
         rows = snv_mod.format_snv_rows(cands, keep, chrom, out_name, cfg,
@@ -237,7 +280,7 @@ def call_chromosome(chrom: np.ndarray, reads: bam_mod.RawReads,
     with phase("call.indel"):
         ins_list, del_list, d_index = indel_mod.detect_indels(
             chrom, arr, dense, ev, cfg, drv, mq_table, hez_table,
-            scan_start, scan_end)
+            scan_start, scan_end, base_tot=base_tot)
 
     rows.extend(sv_mod.format_dup_rows(out_name, dup2, cfg))
     rows.extend(sv_mod.format_inv_rows(out_name, inv_f2, inv_r2, arr, cfg, drv))
