@@ -33,16 +33,27 @@ class RunResult:
 
 def run(cfg: GromConfig, file_date: Optional[str] = None) -> RunResult:
     """Single-host run (the reference's serial mode). With -c
-    "chr,sub,start,end" set, runs the sub-region child mode instead."""
+    "chr,sub,start,end" set, runs the sub-region child mode instead.
+
+    With a BAI index present, chromosomes are decoded one at a time
+    (regional fetches), so peak memory is one chromosome's reads — the
+    streaming analogue of the reference's per-chromosome bam_fetch
+    (src/GROM.c:20826+). Without an index the whole BAM is decoded once."""
     if cfg.one_chromosome:
         return run_child_region(cfg)
     from grom_tpu.utils.timing import phase, report
     info = fasta_mod.index_fasta(cfg.ref_fasta)
-    with phase("ingest.read_bam"):
-        header, reads = bam_mod.read_bam(cfg.bam)
-
-    with phase("ingest.insert_stats"):
-        ins = load_or_estimate(cfg.bam, reads, cfg)
+    streaming = os.path.exists(cfg.bam + ".bai")
+    reads = None
+    if streaming:
+        header = bam_mod.read_bam_header(cfg.bam)
+        with phase("ingest.insert_stats"):
+            ins = _streaming_insert_stats(cfg, header)
+    else:
+        with phase("ingest.read_bam"):
+            header, reads = bam_mod.read_bam(cfg.bam)
+        with phase("ingest.insert_stats"):
+            ins = load_or_estimate(cfg.bam, reads, cfg)
     drv = DerivedConfig.from_insert_stats(cfg, ins.insert_mean, ins.insert_min,
                                           ins.insert_max, ins.read_len,
                                           ins.mapped_read_bases)
@@ -69,10 +80,18 @@ def run(cfg: GromConfig, file_date: Optional[str] = None) -> RunResult:
         out_name = fa_name.lower()
         if fasta_mod.is_chry(fa_name) and cfg.gender == 0:
             continue  # chrY skipped for female (src/GROM.c:20979-20988)
-        sel = np.flatnonzero(reads.refid == refid)
+        if streaming:
+            with phase("ingest.read_bam"):
+                _, creads = bam_mod.read_bam_region(
+                    cfg.bam, refid, 0, int(header.ref_lengths[refid]))
+            sel = np.arange(len(creads.pos))
+        else:
+            creads = reads
+            sel = np.flatnonzero(reads.refid == refid)
         chrom = fasta_mod.load_chromosome(cfg.ref_fasta, info, fa_name)
-        rows, ctx_recs = call_chromosome(chrom, reads, sel, refid, out_name,
+        rows, ctx_recs = call_chromosome(chrom, creads, sel, refid, out_name,
                                          cfg, drv, mq_table, hez_table)
+        del creads
         writer.write_rows(rows)
         all_ctx.extend(ctx_recs)
         n_records += len(rows)
@@ -84,6 +103,62 @@ def run(cfg: GromConfig, file_date: Optional[str] = None) -> RunResult:
         write_ctx_vcf(ctx_path, all_ctx, header.ref_names, cfg, drv, file_date)
     report()
     return RunResult(cfg.out_vcf, ctx_path, n_records, ins)
+
+
+def _streaming_insert_stats(cfg: GromConfig,
+                            header: "bam_mod.BamHeader") -> InsertStats:
+    """Insert estimation without decoding the whole BAM: chromosomes are
+    fetched in header order (== file order for a coordinate-sorted BAM) and
+    decoding stops once the reference's 10M-record sample is full
+    (src/GROM.c:1205-1318). Cached like load_or_estimate."""
+    import json
+
+    from grom_tpu.ingest.bam import (FDUP, FMUNMAP, FPAIRED, FPROPER_PAIR,
+                                     FUNMAP)
+    from grom_tpu.ingest.insert_size import estimate_insert_stats
+    cache = cfg.bam + ".grom_tpu.mean.json"
+    if os.path.exists(cache):
+        try:
+            with open(cache) as f:
+                return InsertStats.from_json(f.read())
+        except (ValueError, KeyError):
+            pass
+    keys = ("flag", "refid", "mrefid", "pos", "mpos", "tlen", "lseq", "mapq")
+    cols = {k: [] for k in keys}
+    contributing = 0
+    for refid in range(len(header.ref_names)):
+        _, r = bam_mod.read_bam_region(cfg.bam, refid, 0,
+                                       int(header.ref_lengths[refid]),
+                                       want_names=False)
+        if not len(r.pos):
+            continue
+        for k in keys:
+            cols[k].append(getattr(r, k))
+        flag = r.flag
+        usable = ((flag & FUNMAP) == 0) & ((flag & FDUP) == 0)
+        unpaired = usable & ((flag & FPAIRED) == 0)
+        paired_ok = (usable & ((flag & FPAIRED) != 0)
+                     & ((flag & FMUNMAP) == 0) & (r.refid == r.mrefid)
+                     & (r.pos < r.mpos) & ((flag & FPROPER_PAIR) != 0)
+                     & (r.tlen > 0))
+        contributing += int((unpaired | paired_ok).sum())
+        if contributing >= cfg.insert_sample_size:
+            break
+
+    class _Lite:
+        pass
+
+    lite = _Lite()
+    for k in keys:
+        setattr(lite, k, np.concatenate(cols[k]) if cols[k]
+                else np.empty(0, np.int64))
+    st = estimate_insert_stats(lite, cfg)
+    try:
+        with open(cache, "w") as f:
+            f.write(st.to_json())
+    except OSError:
+        pass
+    return st
 
 
 def run_child_region(cfg: GromConfig) -> RunResult:
