@@ -329,7 +329,7 @@ class DenseArrays:
 
     @staticmethod
     def zeros(L: int) -> "DenseArrays":
-        z = lambda: np.zeros(L, np.int64)
+        z = lambda: np.zeros(L, np.int32)
         return DenseArrays(L, z(), z(), z(), z(), z(), z(), z(), z(), z(), z(),
                            z(), z(), z(), z(), z(), z(), z(), z(), z(), z(),
                            z(), z())
@@ -338,10 +338,10 @@ class DenseArrays:
 def _apply_spans(dst, L, starts, ends, weights):
     if not starts:
         return
-    d = np.zeros(L + 1, np.int64)
+    d = np.zeros(L + 1, np.int32)
     np.add.at(d, np.array(starts), np.array(weights))
     np.subtract.at(d, np.array(ends), np.array(weights))
-    dst += np.cumsum(d[:-1])
+    dst += np.cumsum(d[:-1], dtype=np.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -412,8 +412,8 @@ def run_deposits_native(chrom_len: int, batch: ReadBatch,
 
     L = chrom_len
     # span-diff arrays are length L+1 (C applies ±diffs then prefix-sums)
-    diff = [np.zeros(L + 1, np.int64) for _ in range(5)]
-    point = [np.zeros(L, np.int64) for _ in range(17)]
+    diff = [np.zeros(L + 1, np.int32) for _ in range(5)]
+    point = [np.zeros(L, np.int32) for _ in range(17)]
     dense_arrays = diff + point
     dense_ptrs = (ctypes.c_void_p * 22)(
         *[a.ctypes.data_as(ctypes.c_void_p).value for a in dense_arrays])

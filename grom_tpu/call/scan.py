@@ -122,11 +122,11 @@ def accumulate_chromosome(chrom: np.ndarray, batch: ReadBatch,
         rd_lo=np.zeros(L, np.int32), one_base_rd=np.zeros(L, np.int32),
         indel_sc_rd=np.zeros(L, np.int32), sc_rd=np.zeros(L, np.int32),
         snv=np.zeros((NT, L), np.int32), snv_lowmq=np.zeros((NT, L), np.int32),
-        bq=np.zeros(L, np.int64), bq_all=np.zeros(L, np.int64),
-        mq=np.zeros(L, np.int64), mq_all=np.zeros(L, np.int64),
+        bq=np.zeros(L, np.int32), bq_all=np.zeros(L, np.int32),
+        mq=np.zeros(L, np.int32), mq_all=np.zeros(L, np.int32),
         bq_read_count=np.zeros(L, np.int32), mq_read_count=np.zeros(L, np.int32),
         read_count_all=np.zeros(L, np.int32),
-        pos_in_read=np.zeros((NT, L), np.int64), fstrand=np.zeros((NT, L), np.int64),
+        pos_in_read=np.zeros((NT, L), np.int32), fstrand=np.zeros((NT, L), np.int32),
     )
     # eligible reads: kept AND pos >= scan_start (reads before the window
     # start are consumed without deposits, src/GROM.c:6406)
@@ -174,6 +174,16 @@ def _accumulate_native(arr: ChromArrays, chrom, batch, eligible, cfg) -> bool:
         a = np.ascontiguousarray(a, dt)
         holds.append(a)
         return a.ctypes.data_as(ctypes.c_void_p)
+
+    expect = {"snv": np.int32, "snv_lowmq": np.int32, "bq": np.int32,
+              "bq_all": np.int32, "mq": np.int32, "mq_all": np.int32,
+              "bq_read_count": np.int32, "mq_read_count": np.int32,
+              "read_count_all": np.int32, "pos_in_read": np.int32,
+              "fstrand": np.int32, "rd_mq": np.int64, "rd_hi": np.int32,
+              "rd_lo": np.int32}
+    for f, dt in expect.items():
+        if getattr(arr, f).dtype != dt:
+            return False    # caller-built arrays with foreign dtypes
 
     def outp(a):
         return a.ctypes.data_as(ctypes.c_void_p)

@@ -388,8 +388,8 @@ enum {
     N_DENSE
 };
 
-static inline void span_diff(int64_t *a, int64_t L, int64_t s, int64_t ec,
-                             int64_t w) {
+static inline void span_diff(int32_t *a, int64_t L, int64_t s, int64_t ec,
+                             int32_t w) {
     int64_t s0 = s < 0 ? 0 : s;
     int64_t e0 = ec > L ? L : ec;
     if (e0 > s0) {
@@ -442,7 +442,7 @@ GN_API int gn_deposits_run(
     const int32_t *aux_sadj_a, const int32_t *aux_eadj_a,
     const int32_t *aux_eadj_i_a,
     const int64_t *params_i, const double *params_d,
-    int64_t **dense, gn_dep_out **out_p) {
+    int32_t **dense, gn_dep_out **out_p) {
 
     const int64_t L = params_i[PI_CHROM_LEN];
     const int64_t im = params_i[PI_IM];
@@ -1039,8 +1039,8 @@ GN_API int gn_deposits_run(
 
     /* in-place prefix sums for the span-diff dense arrays */
     for (int d = D_RD; d <= D_MR; d++) {
-        int64_t *a = dense[d];
-        int64_t acc = 0;
+        int32_t *a = dense[d];
+        int32_t acc = 0;
         for (int64_t p = 0; p < L; p++) {
             acc += a[p];
             a[p] = acc;

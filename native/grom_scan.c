@@ -43,9 +43,9 @@ GN_API int gn_snv_accumulate(
     const uint8_t *chrom,
     const int64_t *params,
     int32_t *snv, int32_t *snv_lowmq,
-    int64_t *bq, int64_t *bq_all, int64_t *mq_sum, int64_t *mq_all,
+    int32_t *bq, int32_t *bq_all, int32_t *mq_sum, int32_t *mq_all,
     int32_t *bq_read_count, int32_t *mq_read_count, int32_t *read_count_all,
-    int64_t *pos_in_read, int64_t *fstrand,
+    int32_t *pos_in_read, int32_t *fstrand,
     int64_t *rd_mq, int32_t *rd_hi, int32_t *rd_lo) {
 
     const int64_t L = params[SP_L];

@@ -60,13 +60,13 @@ def test_scan_differential(ds):
             indel_sc_rd=np.zeros(L, np.int32), sc_rd=np.zeros(L, np.int32),
             snv=np.zeros((NT, L), np.int32),
             snv_lowmq=np.zeros((NT, L), np.int32),
-            bq=np.zeros(L, np.int64), bq_all=np.zeros(L, np.int64),
-            mq=np.zeros(L, np.int64), mq_all=np.zeros(L, np.int64),
+            bq=np.zeros(L, np.int32), bq_all=np.zeros(L, np.int32),
+            mq=np.zeros(L, np.int32), mq_all=np.zeros(L, np.int32),
             bq_read_count=np.zeros(L, np.int32),
             mq_read_count=np.zeros(L, np.int32),
             read_count_all=np.zeros(L, np.int32),
-            pos_in_read=np.zeros((NT, L), np.int64),
-            fstrand=np.zeros((NT, L), np.int64))
+            pos_in_read=np.zeros((NT, L), np.int32),
+            fstrand=np.zeros((NT, L), np.int32))
 
         a_nat = mk()
         assert scan_mod._accumulate_native(a_nat, chrom, batch, eligible, cfg)
