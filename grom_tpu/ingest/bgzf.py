@@ -51,7 +51,7 @@ def _read_block(f: BinaryIO) -> Tuple[bytes, int] | None:
     return data, bsize
 
 
-def read_bgzf(path: str) -> Tuple[bytes, np.ndarray]:
+def read_bgzf(path: str, as_array: bool = False) -> Tuple[bytes, np.ndarray]:
     """Decompress a whole BGZF file.
 
     Returns (data, blocks) where ``blocks`` is an int64 array of shape [B, 2]:
@@ -62,8 +62,12 @@ def read_bgzf(path: str) -> Tuple[bytes, np.ndarray]:
     Uses the native multithreaded inflater when available (block-parallel —
     BGZF blocks are independent deflate streams); falls back to the
     pure-Python path otherwise.
+
+    With ``as_array=True`` the data comes back as a pooled uint8 ndarray
+    (no bytes copy — first-touch page faults are expensive on this kernel;
+    see utils/bufpool.py). The caller owns releasing it back to the pool.
     """
-    native = _read_bgzf_native(path)
+    native = _read_bgzf_native(path, as_array)
     if native is not None:
         return native
     chunks: List[bytes] = []
@@ -88,42 +92,68 @@ def read_bgzf(path: str) -> Tuple[bytes, np.ndarray]:
     return b"".join(chunks), blocks
 
 
-def _read_bgzf_native(path: str) -> Tuple[bytes, np.ndarray] | None:
+def _read_src(path: str) -> np.ndarray:
+    """Read a whole file into a pooled uint8 array (avoids the bytes-object
+    first-touch; the pool reuses the buffer across decode passes)."""
+    import os
+
+    from grom_tpu.utils.bufpool import POOL
+    size = os.path.getsize(path)
+    buf = POOL.empty(size, np.uint8)
+    with open(path, "rb", buffering=0) as f:
+        got = f.readinto(memoryview(buf))
+    if got != size:
+        return buf[:got]
+    return buf
+
+
+def _read_bgzf_native(path: str, as_array: bool = False
+                      ) -> Tuple[bytes, np.ndarray] | None:
     from grom_tpu.native import get_lib
     lib = get_lib()
     if lib is None:
         return None
     import ctypes
     import os
-    with open(path, "rb") as f:
-        src = f.read()
+
+    from grom_tpu.utils.bufpool import POOL
+    src = _read_src(path)
     srclen = len(src)
+    v = ctypes.c_void_p
     cap = max(srclen // 1024, 64)  # blocks are >= ~1KB in practice
     while True:
         coff = np.empty(cap, np.int64)
         usize = np.empty(cap, np.int64)
-        n = lib.gn_bgzf_scan(src, srclen, coff.ctypes.data_as(ctypes.c_void_p),
-                             usize.ctypes.data_as(ctypes.c_void_p), cap)
+        n = lib.gn_bgzf_scan(src.ctypes.data_as(v), srclen,
+                             coff.ctypes.data_as(v),
+                             usize.ctypes.data_as(v), cap)
         if n == -2:
             cap *= 2
             continue
         if n < 0:
+            POOL.release(src)
             return None  # malformed; let the Python path raise precisely
         break
     coff = coff[:n]
     uoff = np.zeros(n + 1, np.int64)
     np.cumsum(usize[:n], out=uoff[1:])
     total = int(uoff[-1])
-    dst = np.empty(total, np.uint8)
+    dst = POOL.empty(total, np.uint8)
     nthreads = min(os.cpu_count() or 1, 16)
-    rc = lib.gn_bgzf_inflate(src, srclen,
-                             coff.ctypes.data_as(ctypes.c_void_p),
-                             uoff.ctypes.data_as(ctypes.c_void_p), n,
-                             dst.ctypes.data_as(ctypes.c_void_p), nthreads)
+    rc = lib.gn_bgzf_inflate(src.ctypes.data_as(v), srclen,
+                             coff.ctypes.data_as(v),
+                             uoff.ctypes.data_as(v), n,
+                             dst.ctypes.data_as(v), nthreads)
+    POOL.release(src)
     if rc != 0:
+        POOL.release(dst)
         return None
     blocks = np.stack([np.concatenate([coff, [srclen]]), uoff], axis=1)
-    return dst.tobytes(), blocks
+    if as_array:
+        return dst, blocks
+    out = dst.tobytes()
+    POOL.release(dst)
+    return out, blocks
 
 
 class BgzfRandomReader:
@@ -133,8 +163,12 @@ class BgzfRandomReader:
     the reference fetches via bam_fetch, src/GROM.c:981-992)."""
 
     def __init__(self, path: str):
-        with open(path, "rb") as f:
-            self._src = f.read()
+        from grom_tpu.native import get_lib
+        if get_lib() is not None:
+            self._src = _read_src(path)   # pooled array (native path only)
+        else:
+            with open(path, "rb") as f:
+                self._src = f.read()
         self._coff, self._usize = self._scan()
         self._uoff = np.zeros(len(self._coff) + 1, np.int64)
         np.cumsum(self._usize, out=self._uoff[1:])
@@ -191,29 +225,40 @@ class BgzfRandomReader:
         i = int(np.searchsorted(self._coff, coff, side="right")) - 1
         return max(i, 0)
 
-    def inflate_blocks(self, lo: int, hi: int) -> bytes:
-        """Inflate blocks [lo, hi) into one flat bytes object."""
+    def inflate_blocks(self, lo: int, hi: int, as_array: bool = False):
+        """Inflate blocks [lo, hi) into one flat buffer (bytes by default;
+        a pooled uint8 ndarray with ``as_array=True`` — no copy)."""
         hi = min(hi, self.n_blocks)
         lo = min(max(lo, 0), hi)
         if lo >= hi:
-            return b""
+            return np.empty(0, np.uint8) if as_array else b""
         from grom_tpu.native import get_lib
         lib = get_lib()
         total = int(self._uoff[hi] - self._uoff[lo])
         if lib is not None:
             import ctypes
             import os as _os
-            dst = np.empty(total, np.uint8)
+
+            from grom_tpu.utils.bufpool import POOL
+            dst = POOL.empty(total, np.uint8)
             uoff = (self._uoff[lo:hi + 1] - self._uoff[lo]).copy()
             coff = self._coff[lo:hi].copy()
+            src = self._src
+            src_p = (src.ctypes.data_as(ctypes.c_void_p)
+                     if isinstance(src, np.ndarray) else src)
             rc = lib.gn_bgzf_inflate(
-                self._src, len(self._src),
+                src_p, len(src),
                 coff.ctypes.data_as(ctypes.c_void_p),
                 uoff.ctypes.data_as(ctypes.c_void_p),
                 hi - lo, dst.ctypes.data_as(ctypes.c_void_p),
                 min(_os.cpu_count() or 1, 16))
             if rc == 0:
-                return dst.tobytes()
+                if as_array:
+                    return dst
+                out = dst.tobytes()
+                POOL.release(dst)
+                return out
+            POOL.release(dst)
         out = []
         for b in range(lo, hi):
             c0 = int(self._coff[b])
