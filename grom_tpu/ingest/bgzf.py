@@ -179,11 +179,13 @@ class BgzfRandomReader:
         src = self._src
         if lib is not None:
             import ctypes
+            src_p = (src.ctypes.data_as(ctypes.c_void_p)
+                     if isinstance(src, np.ndarray) else src)
             cap = max(len(src) // 1024, 64)
             while True:
                 coff = np.empty(cap, np.int64)
                 usize = np.empty(cap, np.int64)
-                n = lib.gn_bgzf_scan(src, len(src),
+                n = lib.gn_bgzf_scan(src_p, len(src),
                                      coff.ctypes.data_as(ctypes.c_void_p),
                                      usize.ctypes.data_as(ctypes.c_void_p),
                                      cap)
