@@ -44,6 +44,10 @@ from typing import Optional
 
 import numpy as np
 
+from grom_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
+
 NT = 4
 
 TILE_L = 1 << 18      # positions per tile (position width of the kernel)

@@ -20,6 +20,10 @@ from __future__ import annotations
 import functools
 from typing import Dict, NamedTuple
 
+from grom_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
