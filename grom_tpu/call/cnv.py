@@ -23,6 +23,9 @@ Faithfulness notes:
     run-to-run there; we use numpy's PCG64 in that regime.
   * The custom bisection helpers (src/GROM.c:21630-21860) are ported
     verbatim — their edge behavior differs from textbook lower/upper bound.
+    PROVENANCE: c_bisect_left/right are ~40-line GPL-2-derived algorithm
+    ports (GROM, Smith & Grigoriev); parity genuinely requires their
+    non-textbook edge behavior, so they are kept with this notice.
 """
 
 from __future__ import annotations
@@ -815,55 +818,11 @@ def _null_window_model(prep, depth, mq, gc, nwin, low_acgt, stdev_list, cfg, L):
     return win_std
 
 
-def _window_scan_native(blocks, depth, mq, gc, nwin, low_acgt, stdev_list,
-                        thr, win_std, cfg, L, side: int
-                        ) -> Optional[List[CnvCall]]:
-    """Native C scan (native/grom_cnv.c), bit-identical to
-    :func:`_window_scan_ref`. None when unavailable."""
-    import ctypes
-
-    from grom_tpu.native import get_lib
-    lib = get_lib()
-    if lib is None or not hasattr(lib, "gn_cnv_window_scan"):
-        return None
-    holds = []
-
-    def p(a, dt):
-        a = np.ascontiguousarray(a, dt)
-        holds.append(a)
-        return a.ctypes.data_as(ctypes.c_void_p)
-
-    cap = 1 << 16
-    out_s = np.empty(cap, np.int64)
-    out_e = np.empty(cap, np.int64)
-    out_sd = np.empty(cap, np.float64)
-    calls: List[CnvCall] = []
-    for (bs, be0) in blocks:
-        params = np.array([L, cfg.min_mapq, cfg.min_rd_window_len,
-                           cfg.max_rd_window_len, side, bs, be0], np.int64)
-        dparams = np.array([cfg.max_rd_low_acgt_or_windows, 3.0], np.float64)
-        n = lib.gn_cnv_window_scan(
-            p(depth, np.int64), p(mq, np.float64), p(gc, np.int64),
-            p(nwin, np.int64), p(low_acgt, np.int64),
-            p(stdev_list, np.float64), p(thr, np.float64),
-            p(win_std, np.float64),
-            params.ctypes.data_as(ctypes.c_void_p),
-            dparams.ctypes.data_as(ctypes.c_void_p),
-            out_s.ctypes.data_as(ctypes.c_void_p),
-            out_e.ctypes.data_as(ctypes.c_void_p),
-            out_sd.ctypes.data_as(ctypes.c_void_p),
-            ctypes.c_long(cap))
-        if n < 0:
-            return None
-        calls.extend(CnvCall(int(out_s[i]), int(out_e[i]), float(out_sd[i]))
-                     for i in range(n))
-    return calls
-
-
 def _window_scan(blocks, depth, mq, gc, nwin, low_acgt, stdev_list,
                  thr, win_std, cfg, L, side: int) -> List[CnvCall]:
     """Vectorized window growth scan, semantically identical to
-    :func:`_window_scan_ref` (the direct port of src/GROM.c:19358-20035).
+    the reference scan (src/GROM.c:19358-20035) — differential-tested against
+    the GPL-derived oracle port in grom_tpu/testing/cnv_oracle.py.
 
     The reference walks every base and, per seed, every base of the grow
     window — O(L + seeds*maxw) Python-level steps. Here the outer walk
@@ -872,10 +831,6 @@ def _window_scan(blocks, depth, mq, gc, nwin, low_acgt, stdev_list,
     ``mq_index``/``last_low`` state), and the minw/grow inner loops are
     evaluated as cumulative-sum array expressions per seed. The rare
     slide/trim phases stay as direct loops."""
-    nat = _window_scan_native(blocks, depth, mq, gc, nwin, low_acgt,
-                              stdev_list, thr, win_std, cfg, L, side)
-    if nat is not None:
-        return nat
     minw = cfg.min_rd_window_len
     maxw = cfg.max_rd_window_len
     min_sd = 3.0  # g_one_base_read_depth_min_rd_low_stdev
@@ -1123,198 +1078,6 @@ def _trim_phase(c_start, c_end, minw, mqi, mq, depth, lowa, sok0, sok1,
                 pa -= 1
             pos = pa
     return c_end, pos
-
-
-def _window_scan_ref(blocks, depth, mq, gc, nwin, low_acgt, stdev_list,
-                     thr, win_std, cfg, L, side: int) -> List[CnvCall]:
-    """The del (side=+1) / dup (side=-1) window growth scan, direct port
-    (src/GROM.c:19358-19700 del, :19690-20035 dup). ``thr`` is the per
-    (class, gc) threshold; z totals are accumulated as side*z. Kept as the
-    differential-test oracle for the vectorized :func:`_window_scan`."""
-    minw = cfg.min_rd_window_len
-    maxw = cfg.max_rd_window_len
-    min_sd = 3.0  # g_one_base_read_depth_min_rd_low_stdev
-    max_low = cfg.max_rd_low_acgt_or_windows
-    max_dist = maxw + 500  # g_max_distance_since_last_del_good
-    out: List[CnvCall] = []
-
-    def seed_thr_ok(p, cls):
-        d = depth[p]
-        if side > 0:
-            return d <= thr[cls, gc[p]]
-        return d >= thr[cls, gc[p]]
-
-    for (bs, be0) in blocks:
-        be = be0 - minw
-        pos = bs
-        mq_index = 0
-        last_low = 0
-        while pos < be:
-            stop_base = False
-            if mq[pos] >= cfg.min_mapq:
-                mq_index = 0
-                last_low = 0
-            elif depth[pos] > 0:
-                mq_index = 1
-                last_low = 1
-            else:
-                mq_index = last_low
-            if seed_thr_ok(pos, mq_index):
-                temp_pos = pos
-                low_total = 0.0
-                low_count = 0
-                low_count2 = 0
-                wl = 0
-                begin = False
-                c_start = c_end = 0
-                c_sd = 0.0
-                last_good = 0
-                mqi = mq_index
-                for pa in range(pos, pos + minw):
-                    wl += 1
-                    if low_acgt[pa] == 0:
-                        if mq[pa] >= cfg.min_mapq:
-                            mqi = 0
-                        elif depth[pa] > 0:
-                            mqi = 1
-                        if seed_thr_ok(pa, mqi):
-                            low_count2 += 1
-                        elif 2 * low_count2 < wl:
-                            stop_base = True
-                            temp_pos = pa
-                            break
-                    elif 2 * low_count2 < wl:
-                        stop_base = True
-                        temp_pos = pa
-                        break
-                if not stop_base:
-                    low_count = minw
-                    low_total = 0.0
-                    for pa in range(pos, pos + minw):
-                        low_count -= low_acgt[pa]
-                        low_total += side * stdev_list[pa]
-                    if (low_count > 0 and win_std[minw] > 0
-                            and low_total / (low_count * win_std[minw]) >= min_sd
-                            and (minw - low_count) / minw <= max_low):
-                        begin = True
-                        c_start = pos
-                        last_good = pos + minw
-                        c_end = pos + minw
-                        c_sd = low_total / (low_count * win_std[minw])
-                if not stop_base:
-                    for pa in range(pos + minw, pos + maxw):
-                        wl += 1
-                        if pa >= be:  # ddd_pos_a >= ddd_end (src/GROM.c:19504)
-                            stop_base = True
-                            break
-                        if low_acgt[pa] == 0:
-                            if mq[pa] >= cfg.min_mapq:
-                                mqi = 0
-                            elif depth[pa] > 0:
-                                mqi = 1
-                            low_total += side * stdev_list[pa]
-                            low_count += 1
-                            if seed_thr_ok(pa, mqi):
-                                low_count2 += 1
-                                if (win_std[wl] > 0
-                                        and low_total / (low_count * win_std[wl]) >= min_sd
-                                        and (wl - low_count) / wl <= max_low):
-                                    last_good = pa
-                                    if not begin:
-                                        begin = True
-                                        c_start = pos
-                                        c_end = pa
-                                        c_sd = low_total / (low_count * win_std[wl])
-                                    else:
-                                        ts = low_total / (low_count * win_std[wl])
-                                        c_end = pa
-                                        if ts > c_sd:
-                                            c_sd = ts
-                            elif 2 * low_count2 < wl:
-                                stop_base = True
-                                break
-                        elif 2 * low_count2 < wl:
-                            stop_base = True
-                            break
-                if not stop_base and begin:
-                    # slide max-window extension (src/GROM.c:19510-19600)
-                    pa = pos + maxw
-                    s_total = 0.0
-                    s_count = 0
-                    mqb = mqi
-                    while pa < L and (pa - last_good) <= max_dist:
-                        if pa == pos + maxw:
-                            for pb in range(pa - maxw + 1, pa + 1):
-                                if mq[pb] >= cfg.min_mapq:
-                                    mqb = 0
-                                elif depth[pb] > 0:
-                                    mqb = 1
-                                if low_acgt[pb] == 0 and nwin[mqb, gc[pb]] > 1:
-                                    s_total += side * stdev_list[pb]
-                                    s_count += 1
-                        else:
-                            pb = pa - maxw
-                            if mq[pb] >= cfg.min_mapq:
-                                mqb = 0
-                            elif depth[pb] > 0:
-                                mqb = 1
-                            if low_acgt[pb] == 0 and nwin[mqb, gc[pb]] > 1:
-                                s_total -= side * stdev_list[pb]
-                                s_count -= 1
-                            if mq[pa] >= cfg.min_mapq:
-                                mqi = 0
-                            elif depth[pa] > 0:
-                                mqi = 1
-                            if low_acgt[pa] == 0 and nwin[mqi, gc[pa]] > 1:
-                                s_total += side * stdev_list[pa]
-                                s_count += 1
-                        if (s_count > 0 and win_std[maxw] > 0
-                                and s_total / (s_count * win_std[maxw]) >= min_sd
-                                and (maxw - s_count) / maxw <= max_low):
-                            last_good = pa
-                            c_end = pa
-                            ts = s_total / (s_count * win_std[maxw])
-                            if ts > c_sd:
-                                c_sd = ts
-                        pa += 1
-                if begin:
-                    # trailing trim (src/GROM.c:19585-19660)
-                    pos = c_end
-                    while pos > c_start + minw:
-                        if mq[pos] >= cfg.min_mapq:
-                            mqi = 0
-                        elif depth[pos] > 0:
-                            mqi = 1
-                        if not seed_thr_ok(pos, mqi):
-                            pos -= 1
-                            c_end = pos
-                        else:
-                            lc2 = 0
-                            lc3 = 0
-                            pa = c_end
-                            mqa = mqi
-                            stop_w = False
-                            while pa > c_start + minw and not stop_w:
-                                if low_acgt[pa] == 0:
-                                    if mq[pa] >= cfg.min_mapq:
-                                        mqa = 0
-                                    elif depth[pa] > 0:
-                                        mqa = 1
-                                    lc3 += 1
-                                    if seed_thr_ok(pa, mqa):
-                                        lc2 += 1
-                                if (lc3 == 0 or (lc3 > 0 and lc2 / lc3 < 0.5)
-                                        or (c_end - pa + 1 - lc3) / (c_end - pa + 1.0) > max_low):
-                                    c_end = pa - 1
-                                    stop_w = True
-                                pa -= 1
-                            pos = pa
-                    pos = c_end + 1
-                    out.append(CnvCall(c_start, c_end, c_sd))
-                elif stop_base:
-                    pos = temp_pos
-            pos += 1
-    return out
 
 
 # ---------------------------------------------------------------------------

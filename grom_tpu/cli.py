@@ -14,7 +14,10 @@ from typing import List, Optional
 
 from grom_tpu.config import FLAG_MAP, TOGGLE_MAP, GromConfig
 
-_GETOPT = "i:r:o:g:p:b:q:v:e:V:d:j:u:w:y:z:a:n:x:k:m:s:A:D:E:K:L:U:W:X:Y:Z:N:B:G:l:F:R:P:c:MSfh"
+# -Q (CNV mapq) is accepted but a no-op like the reference: g_rd_min_mapq is
+# unconditionally overwritten by g_min_mapq after getopt (src/GROM.c:21965-21967,
+# :22101-22102)
+_GETOPT = "i:r:o:g:p:b:q:Q:v:e:V:d:j:u:w:y:z:a:n:x:k:m:s:A:D:E:K:L:U:W:X:Y:Z:N:B:G:l:F:R:P:c:MSfh"
 
 HELP = """GROM-TPU — TPU-native integrated variant caller (SNV/indel/SV/CNV)
 
@@ -175,7 +178,12 @@ def run_parallel(cfg: GromConfig) -> None:
                                           ins.insert_max, ins.read_len,
                                           ins.mapped_read_bases)
     jobs = []
-    for refid in range(header.n_ref):
+    # largest-chromosome-first scheduling for load balance
+    # (src/GROM.c:22318-22336); output order stays header order via the sort
+    # over results below
+    order = sorted(range(header.n_ref),
+                   key=lambda r: -int(header.ref_lengths[r]))
+    for refid in order:
         regs = split_regions(header.ref_lengths[refid], cfg)
         if len(regs) <= 1:
             # single region == whole chromosome: identical to serial

@@ -29,15 +29,22 @@ def enable_persistent_cache() -> None:
     spec = os.environ.get("GROM_TPU_JAX_CACHE", "")
     if spec == "0":
         return
-    path = spec or os.path.join(
-        os.path.expanduser("~"), ".cache", "grom_tpu", "jax")
     try:
-        os.makedirs(path, exist_ok=True)
         import jax
+        # respect a cache dir the embedding application already configured
+        # (JAX_COMPILATION_CACHE_DIR or jax.config) — only fill the default in
+        if not spec:
+            if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+                return
+            if getattr(jax.config, "jax_compilation_cache_dir", None):
+                return
+        path = spec or os.path.join(
+            os.path.expanduser("~"), ".cache", "grom_tpu", "jax")
+        os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        # cache everything, even quick compiles; a genome run re-enters the
-        # same executables thousands of times across worker processes
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        # cache only non-trivial compiles (the motivating tile kernels take
+        # tens of seconds on TPU) so the dir doesn't grow without bound from
+        # many workers persisting trivial entries
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass

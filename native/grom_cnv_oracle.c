@@ -1,12 +1,13 @@
-/* grom_tpu native CNV window-growth scan.
+/* CNV window-growth scan ORACLE — GPL-2-derived (TEST USE ONLY).
  *
- * Native fast path for grom_tpu/call/cnv.py:_window_scan — a direct
- * transliteration of the Python reference port _window_scan_ref (itself the
- * semantic port of the reference's del/dup window scans,
- * src/GROM.c:19358-19700 / :19690-20035).  All floating accumulation happens
- * in the same order as the Python port, so results are bit-identical
- * (tests/test_cnv_scan_equiv.py adds the native engine to the same
- * differential harness).
+ * Direct transliteration of the Python reference port
+ * grom_tpu/testing/cnv_oracle.py:window_scan_ref (itself a structural port of
+ * the reference's del/dup window scans, src/GROM.c:19358-19700 / :19690-20035;
+ * GROM is GPL-2, Smith & Grigoriev).  NOT part of the shipped calling
+ * pipeline: bound only by grom_tpu/testing/cnv_oracle.py to speed the
+ * differential-test oracle up (tests/test_cnv_scan_equiv.py).  All floating
+ * accumulation happens in the same order as the Python port, so results are
+ * bit-identical.
  */
 
 #include <stdint.h>

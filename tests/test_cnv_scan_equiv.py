@@ -5,7 +5,8 @@ same boundaries, same stdev to the last ulp — across randomized inputs."""
 import numpy as np
 import pytest
 
-from grom_tpu.call.cnv import _window_scan, _window_scan_ref
+from grom_tpu.call.cnv import _window_scan
+from grom_tpu.testing.cnv_oracle import window_scan_native, window_scan_ref
 from grom_tpu.config import GromConfig
 
 
@@ -44,10 +45,16 @@ def test_window_scan_matches_reference_port(seed):
         ws[minw:] = rng.uniform(0.5, 2.0)
         blocks = [(50, L - 250)]
         for side, thr in ((1, thr_del), (-1, thr_dup)):
-            ref = _window_scan_ref(blocks, dep, mq, gc, nwin, low, sd, thr,
+            ref = window_scan_ref(blocks, dep, mq, gc, nwin, low, sd, thr,
                                    ws, cfg, L, side)
             new = _window_scan(blocks, dep, mq, gc, nwin, low, sd, thr,
                                ws, cfg, L, side)
             assert ([(c.start, c.end, c.stdev) for c in ref]
                     == [(c.start, c.end, c.stdev) for c in new]), \
                 (seed, trial, side)
+            nat = window_scan_native(blocks, dep, mq, gc, nwin, low, sd, thr,
+                                     ws, cfg, L, side)
+            if nat is not None:
+                assert ([(c.start, c.end, c.stdev) for c in nat]
+                        == [(c.start, c.end, c.stdev) for c in ref]), \
+                    (seed, trial, side)
