@@ -31,7 +31,32 @@ class RunResult:
     insert: InsertStats
 
 
-def run(cfg: GromConfig, file_date: Optional[str] = None) -> RunResult:
+def resolve_engine() -> str:
+    """Which per-base accumulate engine to run.
+
+    GROM_TPU_ENGINE: "host" (native C / numpy), "tpu" (sequential device
+    tiles, ops/accumulate.py), "mesh" (sharded over all local devices,
+    parallel/pipeline.py), or "auto" (default). Auto picks the device when a
+    real accelerator backend is present — mesh with >1 device, sequential
+    tiles with 1 — and the host engines otherwise (a pure-CPU jax backend
+    would only re-do the native engine's work slower)."""
+    e = os.environ.get("GROM_TPU_ENGINE", "auto")
+    if e != "auto":
+        return e
+    jp = os.environ.get("JAX_PLATFORMS", "")
+    if jp and set(p.strip() for p in jp.split(",") if p.strip()) <= {"cpu"}:
+        return "host"
+    try:
+        import jax
+        if jax.default_backend() == "cpu":
+            return "host"
+        return "mesh" if len(jax.devices()) > 1 else "tpu"
+    except Exception:
+        return "host"
+
+
+def run(cfg: GromConfig, file_date: Optional[str] = None,
+        engine: Optional[str] = None, mesh=None) -> RunResult:
     """Single-host run (the reference's serial mode). With -c
     "chr,sub,start,end" set, runs the sub-region child mode instead.
 
@@ -90,7 +115,8 @@ def run(cfg: GromConfig, file_date: Optional[str] = None) -> RunResult:
             sel = np.flatnonzero(reads.refid == refid)
         chrom = fasta_mod.load_chromosome(cfg.ref_fasta, info, fa_name)
         rows, ctx_recs = call_chromosome(chrom, creads, sel, refid, out_name,
-                                         cfg, drv, mq_table, hez_table)
+                                         cfg, drv, mq_table, hez_table,
+                                         engine=engine, mesh=mesh)
         del creads
         writer.write_rows(rows)
         all_ctx.extend(ctx_recs)
@@ -265,8 +291,8 @@ def call_chromosome(chrom: np.ndarray, reads: bam_mod.RawReads,
                     sel: np.ndarray, refid: int, out_name: str,
                     cfg: GromConfig, drv: DerivedConfig,
                     mq_table: np.ndarray, hez_table: np.ndarray,
-                    region_start: int = 0
-                    ) -> Tuple[List[str], List[str]]:
+                    region_start: int = 0, engine: Optional[str] = None,
+                    mesh=None) -> Tuple[List[str], List[str]]:
     """Full per-chromosome calling. Returns (vcf_rows, ctx_records) in the
     reference's emission order: SNV, DUP, INV, INS, INDEL_INS, INDEL_DEL,
     DEL (CNV rows are appended by the CNV engine)."""
@@ -284,23 +310,47 @@ def call_chromosome(chrom: np.ndarray, reads: bam_mod.RawReads,
         dense, ev = run_deposits(len(chrom), batch, out_name, cfg, drv,
                                  scan_start)
 
-    # engine selection: "tpu" runs the per-base accumulate + SNV screen on
-    # the jax device (ops/accumulate.py — bit-identical integer stats, the
-    # host finishes p-values/emission); "host" (default) uses the native C /
-    # numpy engines. The device path falls back automatically.
+    # engine selection (see resolve_engine): "tpu" runs the per-base
+    # accumulate + SNV screen as sequential device tiles (ops/accumulate.py),
+    # "mesh" shards the same step over every local device with an
+    # all_gather'd depth carry (parallel/pipeline.py) — both produce
+    # bit-identical integer stats and the host finishes p-values/emission;
+    # "host" uses the native C / numpy engines. Device paths fall back
+    # automatically on any failure or bucket overflow.
+    if engine is None:
+        engine = resolve_engine()
     base_tot = None
     dev_res = None
-    if os.environ.get("GROM_TPU_ENGINE", "host") == "tpu":
+    rd_lists = None
+    if engine in ("tpu", "mesh"):
         with phase("scan.device"):
-            from grom_tpu.ops.accumulate import get_accumulator
-            acc = get_accumulator()
-            if acc is not None:
-                eligible = batch.keep & (batch.pos >= scan_start)
-                gate = dense.rd + dense.indel_sc_rd
-                try:
-                    dev_res = acc.run(chrom, batch, eligible, cfg, gate)
-                except Exception:
-                    dev_res = None
+            eligible = batch.keep & (batch.pos >= scan_start)
+            gate = dense.rd + dense.indel_sc_rd
+            try:
+                if engine == "mesh":
+                    from grom_tpu.parallel.pipeline import (
+                        MeshAccumulator, get_mesh_accumulator)
+                    acc = (MeshAccumulator(mesh=mesh) if mesh is not None
+                           else get_mesh_accumulator())
+                    res = (acc.run(chrom, batch, eligible, cfg, gate)
+                           if acc is not None else None)
+                    if res is not None:
+                        base_tot_m, dev_cand_m, rd_lists, _hist = res
+                        dev_res = (base_tot_m, dev_cand_m)
+                else:
+                    from grom_tpu.ops.accumulate import get_accumulator
+                    acc = get_accumulator()
+                    if acc is not None:
+                        dev_res = acc.run(chrom, batch, eligible, cfg, gate)
+            except Exception:
+                if os.environ.get("GROM_TPU_STRICT") == "1":
+                    raise
+                dev_res = None
+                rd_lists = None
+            if dev_res is None and os.environ.get("GROM_TPU_STRICT") == "1":
+                raise RuntimeError("device engine %r unavailable or "
+                                   "overflowed with GROM_TPU_STRICT=1"
+                                   % engine)
     if dev_res is not None:
         base_tot, dev_cand = dev_res
         L = len(chrom)
@@ -314,10 +364,15 @@ def call_chromosome(chrom: np.ndarray, reads: bam_mod.RawReads,
             snv=z4, snv_lowmq=z4, bq=z0, bq_all=z0, mq=z0, mq_all=z0,
             bq_read_count=z0, mq_read_count=z0, read_count_all=z0,
             pos_in_read=z4, fstrand=z4)
-        # caf_rd_* depth lists keep their whole-span boundary rule on the
-        # host (tile-splitting would change it at tile edges)
-        eligible = batch.keep & (batch.pos >= scan_start)
-        scan_mod._accumulate_rd_lists(arr, batch, eligible, cfg)
+        if rd_lists is not None:
+            # mesh path: caf_rd_* depth computed on device with the
+            # all_gather'd cross-cell carry (integer-exact)
+            arr.rd_mq = rd_lists[0].astype(np.int64)
+            arr.rd_hi = rd_lists[1].astype(np.int32)
+            arr.rd_lo = rd_lists[2].astype(np.int32)
+        else:
+            eligible = batch.keep & (batch.pos >= scan_start)
+            scan_mod._accumulate_rd_lists(arr, batch, eligible, cfg)
         with phase("call.snv"):
             cands = snv_mod.candidates_from_device(
                 dev_cand, chrom, cfg, mq_table, hez_table,

@@ -60,20 +60,24 @@ Q_B = 1 << 25         # seq/qual byte bucket
 MIN_SUBTILE = 1 << 12  # adaptive halving floor on bucket overflow
 
 
-@functools.partial(
-    __import__("jax").jit,
-    static_argnames=("min_mapq", "min_bq", "min_snv", "name_len_cap"))
-def _tile_kernel(span_read, span_ref, span_readoff, cum0,
-                 elig, mapq, flag, lseq, seq_off, seq, qual,
-                 name_id, name_len, chrom_up, chrom_is_n, gate,
-                 min_ratio_f32, n_span,
-                 min_mapq: int, min_bq: int, min_snv: int,
-                 name_len_cap: int):
+def tile_kernel_core(span_read, span_ref, span_readoff, cum0,
+                     elig, mapq, flag, lseq, seq_off, seq, qual,
+                     name_id, name_len, chrom_up, chrom_is_n, gate,
+                     min_ratio_f32, n_span,
+                     min_mapq: int, min_bq: int, min_snv: int,
+                     name_len_cap: int,
+                     e_cap: int = E_B, m_cap: int = M_B, k_cap: int = K_B):
+    """The per-position-tile accumulate + SNV screen, trace-time sized by its
+    inputs: tile width L = gate.shape[0]; the event / mismatch / candidate
+    capacities are the static ``*_cap`` args. Reused by both the sequential
+    DeviceAccumulator (big buckets) and the sharded mesh pipeline
+    (parallel/pipeline.py, small per-cell buckets)."""
     import jax
     import jax.numpy as jnp
 
     i32 = jnp.int32
-    L, E, M, K = TILE_L, E_B, M_B, K_B
+    L = gate.shape[0]
+    E, M, K = e_cap, m_cap, k_cap
 
     # ---- span expansion (scatter+cumsum segment ids — searchsorted is
     # ~10x slower on TPU for this shape) --------------------------------
@@ -224,12 +228,56 @@ def _tile_kernel(span_read, span_ref, span_readoff, cum0,
     return base_tot, n_cand, n_mm, cand
 
 
+_tile_kernel = functools.partial(
+    __import__("jax").jit,
+    static_argnames=("min_mapq", "min_bq", "min_snv", "name_len_cap",
+                     "e_cap", "m_cap", "k_cap"))(tile_kernel_core)
+
+
 def _pad_to(a: np.ndarray, n: int, fill=0) -> np.ndarray:
     if len(a) >= n:
         return np.ascontiguousarray(a[:n])
     out = np.full(n, fill, a.dtype)
     out[:len(a)] = a
     return out
+
+
+class SpanIndex:
+    """M-span table sorted by reference start with per-range clipping —
+    the host-side tiling step shared by the sequential DeviceAccumulator and
+    the sharded mesh pipeline (parallel/pipeline.py). Splitting spans at
+    tile/cell edges keeps every per-base statistic position-local, so tiling
+    (and sharding) is exact."""
+
+    def __init__(self, batch):
+        sref = batch.span_ref.astype(np.int64)
+        slen = batch.span_len.astype(np.int64)
+        sread = batch.span_read.astype(np.int64)
+        soff = batch.span_readoff.astype(np.int64)
+        if len(sref):
+            order = np.argsort(sref, kind="stable")
+            sref, slen, sread, soff = (sref[order], slen[order],
+                                       sread[order], soff[order])
+        self.sref, self.slen, self.sread, self.soff = sref, slen, sread, soff
+        self.send = sref + slen
+        self.max_len = int(slen.max()) if len(slen) else 0
+
+    def slice_range(self, t0: int, t1: int):
+        """Spans clipped to [t0, t1): (read_idx, cell-local ref start,
+        read-base offset, length) — all spans wholly inside the range after
+        clipping, in sorted-start order."""
+        lo = int(np.searchsorted(self.sref, t0 - self.max_len, side="left"))
+        hi = int(np.searchsorted(self.sref, t1, side="left"))
+        m = self.send[lo:hi] > t0
+        t_ref = self.sref[lo:hi][m]
+        t_end = np.minimum(self.send[lo:hi][m], t1)
+        t_read = self.sread[lo:hi][m]
+        t_off = self.soff[lo:hi][m]
+        delta = np.maximum(t0 - t_ref, 0)
+        t_len = t_end - (t_ref + delta)
+        keep = t_len > 0
+        return (t_read[keep], (t_ref + delta - t0)[keep],
+                (t_off + delta)[keep], t_len[keep])
 
 
 _EMPTY = {"n": 0, "pos": np.empty(0, np.int64),
@@ -261,16 +309,7 @@ class DeviceAccumulator:
             return None
         L = len(chrom)
 
-        sref = batch.span_ref.astype(np.int64)
-        slen = batch.span_len.astype(np.int64)
-        sread = batch.span_read.astype(np.int64)
-        soff = batch.span_readoff.astype(np.int64)
-        if len(sref):
-            order = np.argsort(sref, kind="stable")
-            sref, slen, sread, soff = (sref[order], slen[order],
-                                       sread[order], soff[order])
-        send = sref + slen
-        max_len = int(slen.max()) if len(slen) else 0
+        sindex = SpanIndex(batch)
 
         up = np.where(chrom >= 97, chrom - 32, chrom).astype(np.uint8)
         is_n = (up == ord("N"))
@@ -285,20 +324,7 @@ class DeviceAccumulator:
             """One kernel call over [t0, t1) (width <= TILE_L); recursively
             halves the range when a bucket overflows. Returns False only when
             an overflow persists at MIN_SUBTILE width (caller falls back)."""
-            lo = int(np.searchsorted(sref, t0 - max_len, side="left"))
-            hi = int(np.searchsorted(sref, t1, side="left"))
-            m = send[lo:hi] > t0
-            t_ref = sref[lo:hi][m]
-            t_end = np.minimum(send[lo:hi][m], t1)
-            t_read = sread[lo:hi][m]
-            t_off = soff[lo:hi][m]
-            delta = np.maximum(t0 - t_ref, 0)
-            t_len = t_end - (t_ref + delta)
-            keep = t_len > 0
-            t_ref2 = (t_ref + delta - t0)[keep]
-            t_off2 = (t_off + delta)[keep]
-            t_len = t_len[keep]
-            t_read = t_read[keep]
+            t_read, t_ref2, t_off2, t_len = sindex.slice_range(t0, t1)
             S = len(t_len)
             if S == 0:
                 return True
@@ -350,7 +376,8 @@ class DeviceAccumulator:
                 jnp.float32(cfg.min_snv_ratio),
                 jnp.int32(S),
                 min_mapq=cfg.min_mapq, min_bq=cfg.min_base_qual,
-                min_snv=cfg.min_snv, name_len_cap=50)
+                min_snv=cfg.min_snv, name_len_cap=50,
+                e_cap=E_B, m_cap=M_B, k_cap=K_B)
             bt, n_cand, n_mm, cand = out
             n_cand = int(n_cand)
             if int(n_mm) > M_B or n_cand > K_B:
