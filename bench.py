@@ -1,54 +1,99 @@
 #!/usr/bin/env python
-"""Benchmark: per-base pileup + SNV-scoring inner-loop throughput on one chip.
+"""End-to-end benchmark on one chip: full pipeline (BAM ingest → all variant
+classes → VCF) on a simulated 30x dataset, against a LIVE run of the
+reference binary on the same input.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-The metric is aligned-bases/s through the device pileup+scoring pipeline
-(the reference's hot loops 1-2, SURVEY §3.1). vs_baseline compares against
-the reference binary's single-thread whole-pipeline throughput measured on
-this host (the reference has no published numbers — SURVEY §6); when the
-binary is unavailable a recorded constant from this machine is used.
+  * metric/value: aligned bases/s through `python -m grom_tpu` end-to-end
+    with the default (auto) engine — the device engine when a TPU is
+    attached (north-star metric #2, BASELINE.md);
+  * vs_baseline: ratio to the reference binary's single-process end-to-end
+    throughput measured live on this host on the same input
+    (ref_measured=true) or, when the binary is unavailable, a recorded
+    constant from this machine (ref_measured=false);
+  * kernel_bases_per_s: the device pileup+scoring inner-loop microbenchmark
+    (secondary; the round-1 headline).
+
+The dataset is generated once and cached under ~/.cache/grom_tpu/bench.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 import numpy as np
 
-# measured on this host: reference GROM 1.0.1 single-thread end-to-end on the
-# 400kb synthetic dataset (239k reads / 23.9M aligned bases in 5.9s)
-REFERENCE_BASES_PER_S = 4.05e6
+# recorded on this host (2-vCPU sandbox): reference GROM 1.0.1 end-to-end on
+# the 2Mb/30x dataset: 119.8M aligned bases in 6.84s
+REFERENCE_BASES_PER_S = 1.75e7
+
+BENCH_LEN = 4_000_000
+BENCH_COV = 30.0
 
 
-def measure_reference() -> float:
-    """Time the reference binary end-to-end if available; bases/s."""
+def _dataset():
+    """Simulated BENCH_LEN x BENCH_COV dataset, cached across runs."""
+    cache = os.environ.get("GROM_TPU_BENCH_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "grom_tpu", "bench",
+        "ds%dx%d" % (BENCH_LEN, int(BENCH_COV)))
+    os.makedirs(cache, exist_ok=True)
+    bam = os.path.join(cache, "ds.bam")
+    fa = os.path.join(cache, "ds.fa")
+    if not (os.path.exists(bam) and os.path.exists(fa)):
+        from grom_tpu.testing.simulate import SimConfig, quick_dataset
+        quick_dataset(os.path.join(cache, "ds"), length=BENCH_LEN, seed=42,
+                      sim=SimConfig(coverage=BENCH_COV, seed=43))
+    return fa, bam
+
+
+def _aligned_bases(bam: str) -> int:
+    from grom_tpu.ingest.bam import read_bam
+    _, reads = read_bam(bam, want_names=False)
+    return int(reads.lseq.sum())
+
+
+def measure_reference(fa: str, bam: str):
+    """(bases/s, measured_live) for the reference binary end-to-end."""
     try:
         from grom_tpu.testing.oracle import oracle_available, run_oracle
-        from grom_tpu.testing.simulate import SimConfig, quick_dataset
         if not oracle_available():
-            return REFERENCE_BASES_PER_S
-        import tempfile
-        d = tempfile.mkdtemp(prefix="grom_bench_")
-        fa, bam, _ = quick_dataset(os.path.join(d, "ds"), length=300_000,
-                                   seed=42, sim=SimConfig(coverage=30.0, seed=43))
+            return REFERENCE_BASES_PER_S, False
+        out = os.path.join(os.path.dirname(bam), "ref_bench.vcf")
         t0 = time.time()
-        r = run_oracle(bam, fa, os.path.join(d, "out.vcf"))
+        r = run_oracle(bam, fa, out)
         dt = time.time() - t0
         if r.returncode != 0:
-            return REFERENCE_BASES_PER_S
-        from grom_tpu.ingest.bam import read_bam
-        _, reads = read_bam(bam, want_names=False)
-        bases = int(reads.lseq.sum())
-        return bases / dt
+            return REFERENCE_BASES_PER_S, False
+        return _aligned_bases(bam) / dt, True
     except Exception:
-        return REFERENCE_BASES_PER_S
+        return REFERENCE_BASES_PER_S, False
 
 
-def measure_device() -> float:
+def measure_pipeline(fa: str, bam: str):
+    """(bases/s, wall_s, n_records) for `python -m grom_tpu` end-to-end with
+    the default (auto) engine, fresh process — what a user measures."""
+    out = os.path.join(os.path.dirname(bam), "grom_bench.vcf")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    t0 = time.time()
+    r = subprocess.run([sys.executable, "-m", "grom_tpu", "-i", bam,
+                        "-r", fa, "-o", out],
+                       env=env, capture_output=True, text=True, timeout=3600)
+    dt = time.time() - t0
+    if r.returncode != 0:
+        raise RuntimeError("pipeline failed: " + r.stderr[-2000:])
+    n_rec = sum(1 for ln in open(out) if not ln.startswith("#"))
+    return _aligned_bases(bam) / dt, dt, n_rec
+
+
+def measure_kernel() -> float:
+    """Device pileup + SNV scoring inner-loop throughput (bases/s/chip)."""
     import jax
     import jax.numpy as jnp
 
@@ -58,22 +103,21 @@ def measure_device() -> float:
     from grom_tpu.stats import binom
 
     TILE = 1 << 18
-    E = 1 << 21          # aligned-base events per step
-    NBATCH = 2           # distinct resident batches to defeat caching
-    rng = np.random.default_rng(0)
+    E = 1 << 21
+    NBATCH = 2
 
     params = SnvParams(
         mq_table=jnp.asarray(binom.build_mq_table(20), jnp.float32),
         hez_table=jnp.asarray(binom.build_hez_table(), jnp.float32),
-        ref_code=jnp.asarray(rng.integers(0, 4, TILE), jnp.int8),
+        ref_code=jnp.asarray(
+            np.random.default_rng(0).integers(0, 4, TILE), jnp.int8),
         min_snv_ratio=0.2, min_snv=3, min_ave_bq=15.0,
     )
 
     def make_batch(seed):
         r = np.random.default_rng(seed)
         mapq = np.full(E, 60, np.int64)
-        lowsel = r.random(E) < 0.02
-        mapq[lowsel] = 10
+        mapq[r.random(E) < 0.02] = 10
         ev = PileupEvents(
             pos=jnp.asarray(np.sort(r.integers(0, TILE, E)), jnp.int32),
             code=jnp.asarray(r.integers(0, 4, E), jnp.int8),
@@ -99,28 +143,35 @@ def measure_device() -> float:
         cand, best, ratio, bn, hez = snv_detect_tile(tile, params, depth > 0)
         return cand.sum(), bn.sum(), depth.sum()
 
-    # warmup/compile
-    out = step(*batches[0], params)
-    jax.block_until_ready(out)
-
+    jax.block_until_ready(step(*batches[0], params))
     iters = 30
     t0 = time.time()
     acc = None
     for i in range(iters):
         acc = step(*batches[i % NBATCH], params)
     jax.block_until_ready(acc)
-    dt = (time.time() - t0) / iters
-    return E / dt
+    return E / ((time.time() - t0) / iters)
 
 
 def main():
-    dev = measure_device()
-    ref = measure_reference()
+    fa, bam = _dataset()
+    e2e, wall, n_rec = measure_pipeline(fa, bam)
+    ref, ref_live = measure_reference(fa, bam)
+    try:
+        kernel = measure_kernel()
+    except Exception:
+        kernel = 0.0
     print(json.dumps({
-        "metric": "pileup_scoring_bases_per_s",
-        "value": round(dev, 1),
+        "metric": "e2e_bases_per_s",
+        "value": round(e2e, 1),
         "unit": "aligned bases/s/chip",
-        "vs_baseline": round(dev / ref, 2),
+        "vs_baseline": round(e2e / ref, 3),
+        "wall_s": round(wall, 2),
+        "n_records": n_rec,
+        "dataset": "%dbp x %.0fx simulated" % (BENCH_LEN, BENCH_COV),
+        "reference_bases_per_s": round(ref, 1),
+        "ref_measured_live": ref_live,
+        "kernel_bases_per_s": round(kernel, 1),
     }))
 
 

@@ -310,8 +310,10 @@ def prep_cnv(chrom: np.ndarray, feats: RefFeatures, rd_hi: np.ndarray,
 def build_pval2sd(stdev_step: float = 0.01, sd_max: float = 10.0):
     """src/GROM.c:20714-20748: sd descending from 10, pval ascending.
     Evaluated with libm pow/exp like the reference — numpy's SIMD pow can
-    differ in the last ulp, which moves bisect boundaries."""
-    n = int(sd_max / stdev_step + 0.5)
+    differ in the last ulp, which moves bisect boundaries. The list has
+    len+1 entries (src/GROM.c:20718 ``fdd_pval2sd_list_len += 1``): the
+    final row is sd=0.0 / p=0.5, reached by near-median depths."""
+    n = int(sd_max / stdev_step + 0.5) + 1
     sds = np.empty(n)
     pvals = np.empty(n)
     for i in range(n):
@@ -503,9 +505,12 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
     if scan_hi > scan_lo:
         pos_r = np.arange(scan_lo, scan_hi)
         ok_acgt = acgt[pos_r] >= 99
-        # sticky class with ffill over the full range
+        # sticky class: the reference updates last_low ONLY at positions
+        # passing the acgt gate (src/GROM.c:18691-18706) — positions below
+        # the gate neither read nor advance the class state
         def_cls = np.where(mq[pos_r] >= cfg.min_mapq, 0,
                            np.where(depth[pos_r] > 0, 1, -1))
+        def_cls = np.where(ok_acgt, def_cls, -1)
         cls_ff = _sticky_ffill(def_cls, 0)
         nwin_at = nwin[cls_ff, gc[pos_r]]
         low_acgt[scan_lo:scan_hi] = np.where(ok_acgt & (nwin_at >= 100), 0, 1)
@@ -580,7 +585,10 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
                 base_sd = pv_sd[pi]
             else:
                 if d > cfg.dup_threshold_factor * ave[cls, g]:
-                    bi = c_bisect_left(arr, cfg.dup_threshold_factor * ave[cls, g], 0, n)
+                    # the reference passes the double 2*ave into the INT
+                    # bisect_left parameter (src/GROM.c:18867) — C truncates
+                    # toward zero, so the search key is int(2*ave)
+                    bi = c_bisect_left(arr, int(cfg.dup_threshold_factor * ave[cls, g]), 0, n)
                 else:
                     bi = c_bisect_left(arr, d, 0, n)
                 bi2 = c_bisect_right(arr, d, 0, n)
@@ -745,7 +753,8 @@ def _repeat_rescore(feats, prep, depth, low_acgt, acgt, stdev_list, pv_p,
                 sign = 1.0
             else:
                 if d > cfg.dup_threshold_factor * seg_ave[seg]:
-                    bi = c_bisect_left(arrs[seg], cfg.dup_threshold_factor * seg_ave[seg], 0, n)
+                    # int-truncated key, as above (src/GROM.c:19131-analog)
+                    bi = c_bisect_left(arrs[seg], int(cfg.dup_threshold_factor * seg_ave[seg]), 0, n)
                 else:
                     bi = c_bisect_left(arrs[seg], d, 0, n)
                 bi2 = c_bisect_right(arrs[seg], d, 0, n)
@@ -891,20 +900,31 @@ def _window_scan(blocks, depth, mq, gc, nwin, low_acgt, stdev_list,
 
             # ---- seed accepted: evaluate minw + grow windows as arrays ----
             # the first-window loop always covers [pos, pos+minw); the grow
-            # loop stops at pa >= be (src/GROM.c:19504)
+            # loop stops at pa >= be (src/GROM.c:19504). Two-tier: evaluate a
+            # capped prefix first — the fail index depends only on data
+            # before it, so a capped result is valid whenever the first fail
+            # lands inside the cap (the common case: most seeds die within a
+            # few hundred bases); only surviving seeds pay the full maxw-wide
+            # arrays.
             n = max(minw, min(maxw, be - pos))
-            w_end = pos + n
-            qg = ld_gated[pos:w_end]
-            cls_w = np.where(qg >= pos, defg_safe[pos:w_end], mq_index)
-            sok_w = np.where(cls_w == 0, sok0[pos:w_end], sok1[pos:w_end])
-            lowa_w = lowa[pos:w_end]
-            inc = lowa_w & sok_w
-            wl = np.arange(1, n + 1, dtype=np.int64)
-            lc2 = np.cumsum(inc)
-            lc2_excl = lc2 - inc
-            fail = (~inc) & (2 * lc2_excl < wl)
-            fail_idx = np.flatnonzero(fail)
-            f1 = int(fail_idx[0]) if len(fail_idx) else n
+            n_eval = min(n, max(2 * minw, 512))
+            while True:
+                w_end = pos + n_eval
+                qg = ld_gated[pos:w_end]
+                cls_w = np.where(qg >= pos, defg_safe[pos:w_end], mq_index)
+                sok_w = np.where(cls_w == 0, sok0[pos:w_end], sok1[pos:w_end])
+                lowa_w = lowa[pos:w_end]
+                inc = lowa_w & sok_w
+                wl = np.arange(1, n_eval + 1, dtype=np.int64)
+                lc2 = np.cumsum(inc)
+                lc2_excl = lc2 - inc
+                fail = (~inc) & (2 * lc2_excl < wl)
+                fail_idx = np.flatnonzero(fail)
+                f1 = int(fail_idx[0]) if len(fail_idx) else n_eval
+                if f1 < n_eval or n_eval == n:
+                    break
+                n_eval = n
+            n = n_eval
 
             stop_base = False
             begin = False
