@@ -98,25 +98,20 @@ def run(cfg: GromConfig, file_date: Optional[str] = None,
 
     # chromosome order: FASTA order; names lowercased in output like the
     # reference's find_genome_length (src/GROM.c:1321-1428)
+    jobs = []
     for refid, bam_name in enumerate(header.ref_names):
         fa_name = fasta_mod.match_chromosome(bam_name, info.names)
         if fa_name is None:
             continue
-        out_name = fa_name.lower()
         if fasta_mod.is_chry(fa_name) and cfg.gender == 0:
             continue  # chrY skipped for female (src/GROM.c:20979-20988)
-        if streaming:
-            with phase("ingest.read_bam"):
-                _, creads = bam_mod.read_bam_region(
-                    cfg.bam, refid, 0, int(header.ref_lengths[refid]))
-            sel = np.arange(len(creads.pos))
-        else:
-            creads = reads
-            sel = np.flatnonzero(reads.refid == refid)
-        chrom = fasta_mod.load_chromosome(cfg.ref_fasta, info, fa_name)
-        rows, ctx_recs = call_chromosome(chrom, creads, sel, refid, out_name,
-                                         cfg, drv, mq_table, hez_table,
-                                         engine=engine, mesh=mesh)
+        jobs.append((refid, fa_name))
+
+    for refid, fa_name, creads, sel, chrom in _chromosome_stream(
+            cfg, header, info, jobs, reads, streaming):
+        rows, ctx_recs = call_chromosome(chrom, creads, sel, refid,
+                                         fa_name.lower(), cfg, drv, mq_table,
+                                         hez_table, engine=engine, mesh=mesh)
         del creads
         writer.write_rows(rows)
         all_ctx.extend(ctx_recs)
@@ -129,6 +124,55 @@ def run(cfg: GromConfig, file_date: Optional[str] = None,
         write_ctx_vcf(ctx_path, all_ctx, header.ref_names, cfg, drv, file_date)
     report()
     return RunResult(cfg.out_vcf, ctx_path, n_records, ins)
+
+
+def _chromosome_stream(cfg: GromConfig, header, info, jobs, reads,
+                       streaming: bool):
+    """Yields (refid, fa_name, creads, sel, chrom) per eligible chromosome.
+
+    In streaming (BAI) mode, a background thread decodes chromosome N+1
+    (BGZF inflate + record decode — the native path releases the GIL) and
+    loads its FASTA while chromosome N computes: the I/O–compute overlap the
+    reference gets from its 2-thread producer/consumer ring buffer
+    (src/GROM.c:82-324), double-buffered via a depth-1 queue. Without an
+    index the pre-decoded whole-BAM arrays are sliced instead."""
+    from grom_tpu.utils.timing import phase
+
+    if not streaming:
+        for refid, fa_name in jobs:
+            chrom = fasta_mod.load_chromosome(cfg.ref_fasta, info, fa_name)
+            sel = np.flatnonzero(reads.refid == refid)
+            yield refid, fa_name, reads, sel, chrom
+        return
+
+    import queue
+    import threading
+    q: "queue.Queue" = queue.Queue(maxsize=1)
+
+    def producer():
+        try:
+            for refid, fa_name in jobs:
+                with phase("ingest.read_bam"):
+                    _, creads = bam_mod.read_bam_region(
+                        cfg.bam, refid, 0, int(header.ref_lengths[refid]))
+                    chrom = fasta_mod.load_chromosome(cfg.ref_fasta, info,
+                                                      fa_name)
+                q.put((refid, fa_name, creads, chrom))
+            q.put(None)
+        except BaseException as exc:  # surface decode errors to the consumer
+            q.put(exc)
+
+    t = threading.Thread(target=producer, name="grom-ingest", daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        refid, fa_name, creads, chrom = item
+        yield refid, fa_name, creads, np.arange(len(creads.pos)), chrom
+    t.join()
 
 
 def _streaming_insert_stats(cfg: GromConfig,

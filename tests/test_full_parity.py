@@ -49,7 +49,8 @@ def _rows_equal(a, b):
 
 
 @pytest.mark.parametrize("fixture,flags", [("ds200k", {}),
-                                           ("dup60k", {"rmdup": True})])
+                                           ("dup60k", {"rmdup": True}),
+                                           ("sv400k", {})])
 def test_full_vcf_parity(tmp_path, fixture, flags):
     d = os.path.join(DATA, fixture)
     if not os.path.exists(os.path.join(d, "oracle.vcf")):

@@ -89,9 +89,13 @@ def test_mesh_engine_vcf_parity(tmp_path):
     try:
         run(base.replace(out_vcf=str(tmp_path / "mesh.vcf")),
             file_date="2026725", engine="mesh", mesh=mesh)
+        # sequential device engine end-to-end too (same strict gate)
+        run(base.replace(out_vcf=str(tmp_path / "tpu.vcf")),
+            file_date="2026725", engine="tpu")
     finally:
         del os.environ["GROM_TPU_STRICT"]
-    assert ((tmp_path / "host.vcf").read_bytes()
-            == (tmp_path / "mesh.vcf").read_bytes())
-    assert ((tmp_path / "host.ctx.vcf").read_bytes()
-            == (tmp_path / "mesh.ctx.vcf").read_bytes())
+    for eng in ("mesh", "tpu"):
+        assert ((tmp_path / "host.vcf").read_bytes()
+                == (tmp_path / f"{eng}.vcf").read_bytes()), eng
+        assert ((tmp_path / "host.ctx.vcf").read_bytes()
+                == (tmp_path / f"{eng}.ctx.vcf").read_bytes()), eng

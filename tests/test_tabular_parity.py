@@ -12,7 +12,7 @@ from grom_tpu.driver import run
 DATA = os.path.join(os.path.dirname(__file__), "data")
 
 
-@pytest.mark.parametrize("name", ["ds200k", "ctx2x60k"])
+@pytest.mark.parametrize("name", ["ds200k", "ctx2x60k", "sv400k"])
 def test_tabular_parity(name, tmp_path):
     d = os.path.join(DATA, name)
     oracle = os.path.join(d, "oracle.tab.txt")

@@ -139,6 +139,15 @@ def main():
     make("dup60k", length=60_000, seed=11,
          sim=SimConfig(coverage=25.0, dup_rate=0.15, seed=12),
          oracle_flags=["-M"], n_sv_del=0, n_sv_dup=0, n_sv_inv=0, n_sv_ins=0)
+    # fixture that fires the rarer emitters: clustered SV <DUP> rows (needs a
+    # wide insert distribution — the reference's DUP start/end pairing window
+    # is offset by 2*lseq, so 0.75*(insert_max-insert_min) must exceed
+    # 2*read_len, src/GROM.c:12207-12470) and read-depth CNV <DEL>/<DUP>
+    # SD:Z:CN:CS rows (src/GROM.c:17280-17493)
+    make("sv400k", length=400_000, seed=13,
+         sim=SimConfig(coverage=30.0, seed=113, insert_sd=60),
+         n_sv_del=3, n_sv_dup=3, n_sv_inv=1, n_sv_ins=1,
+         sv_len=(800, 4000), hom_frac=0.4)
     # snapshot the oracle's binomial table caches for table-parity tests
     hez, mq = oracle_table_paths()
     tabdir = os.path.join(FIXDIR, "tables")
