@@ -80,7 +80,8 @@ def measure_pipeline(fa: str, bam: str):
     the default (auto) engine, fresh process — what a user measures."""
     out = os.path.join(os.path.dirname(bam), "grom_bench.vcf")
     env = dict(os.environ)
-    env["PYTHONPATH"] = REPO
+    env["PYTHONPATH"] = REPO + (os.pathsep + env["PYTHONPATH"]
+                                if env.get("PYTHONPATH") else "")
     t0 = time.time()
     r = subprocess.run([sys.executable, "-m", "grom_tpu", "-i", bam,
                         "-r", fa, "-o", out],

@@ -102,6 +102,25 @@ class RefFeatures:
 _REPEAT_PAIRS = [b"AA", b"AC", b"AG", b"AT", b"CC", b"CG", b"CT", b"GG", b"GT", b"TT"]
 
 
+def _tri_weighted_native(chrom: np.ndarray, m: int, gc_w: np.ndarray,
+                         ac_w: np.ndarray) -> bool:
+    """Single-pass native triangular window sums (native/grom_prep.c);
+    integer-exact vs the numpy path. True on success."""
+    import ctypes
+
+    from grom_tpu.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gn_tri_weighted"):
+        return False
+    c = np.ascontiguousarray(chrom, np.uint8)
+    rc = lib.gn_tri_weighted(
+        c.ctypes.data_as(ctypes.c_void_p), ctypes.c_long(len(c)),
+        ctypes.c_long(m),
+        gc_w.ctypes.data_as(ctypes.c_void_p),
+        ac_w.ctypes.data_as(ctypes.c_void_p))
+    return rc == 0
+
+
 def preprocess_reference(chrom: np.ndarray, insert_mean: int,
                          min_repeat: int) -> RefFeatures:
     L = len(chrom)
@@ -132,7 +151,7 @@ def preprocess_reference(chrom: np.ndarray, insert_mean: int,
     gc_w = np.zeros(L, dtype=np.int64)
     ac_w = np.zeros(L, dtype=np.int64)
     lo, hi = m - 1, L - W
-    if hi > lo:
+    if hi > lo and not _tri_weighted_native(chrom, m, gc_w, ac_w):
         gc_w[lo:hi] = 100 * tri_weighted(is_gc)[lo:hi] // total
         ac_w[lo:hi] = 100 * tri_weighted(is_acgt)[lo:hi] // total
 

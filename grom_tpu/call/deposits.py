@@ -391,6 +391,252 @@ def _parse_aux_arrays(batch: ReadBatch, target_prefix: bytes,
     return m, a_pos, a_strand, a_mapq, a_sadj, a_eadj, a_eadj_i
 
 
+class DepositsSession:
+    """Chunked deposit replay: ``feed`` coordinate-sorted read batches (in
+    position order), ``finish`` once — the streaming form of
+    :func:`run_deposits` that never needs the whole chromosome's reads in
+    memory (the reference achieves the same with its read ring,
+    src/GROM.c:82-324). Uses the native streaming engine
+    (gn_deposits_init/feed/finish) when available, else the Python engine's
+    window-less state accumulated per chunk (bit-identical either way).
+    ``feed`` returning False means the native window cannot fit a read
+    (freak CIGAR) — the caller must redo the chromosome non-chunked."""
+
+    def __init__(self, chrom_len: int, chr_name_lower: str, cfg: GromConfig,
+                 drv: DerivedConfig, scan_start: int):
+        self.L = chrom_len
+        self.chr_name_lower = chr_name_lower
+        self.cfg = cfg
+        self.drv = drv
+        self.scan_start = scan_start
+        self.read_base = 0
+        self._mode: Optional[str] = None
+        self._handle = None
+        self._holds: List = []            # buffers the C engine points into
+        self._diff = None
+        self._point = None
+        self._indel_seqs: Dict[int, bytes] = {}
+        self._py_dense: Optional[DenseArrays] = None
+        self._py_state: Optional[EvidenceState] = None
+        self._refid = 0
+
+    def _start_native(self, refid: int) -> bool:
+        import ctypes
+
+        from grom_tpu.native import get_lib
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "gn_deposits_init"):
+            return False
+        L, cfg, drv = self.L, self.cfg, self.drv
+        self._diff = [np.zeros(L + 1, np.int32) for _ in range(5)]
+        self._point = [np.zeros(L, np.int32) for _ in range(17)]
+        dense_ptrs = (ctypes.c_void_p * 22)(
+            *[a.ctypes.data_as(ctypes.c_void_p).value
+              for a in self._diff + self._point])
+        params_i = np.array([
+            L, drv.insert_max, drv.insert_min, drv.insert_mean,
+            cfg.sc_min, cfg.min_mapq, cfg.max_split_loss, cfg.min_sr_len,
+            drv.read_len, cfg.indel_i_seq_len, 1 if cfg.splitread else 0,
+            refid,
+        ], np.int64)
+        params_d = np.array([float(drv.insert_max - drv.insert_min)],
+                            np.float64)
+        self._holds += [dense_ptrs, params_i, params_d]
+        max_lseq = max(4 * drv.read_len, 4096)
+        h = lib.gn_deposits_init(
+            params_i.ctypes.data_as(ctypes.c_void_p),
+            params_d.ctypes.data_as(ctypes.c_void_p),
+            dense_ptrs, ctypes.c_long(max_lseq), ctypes.c_long(1 << 16))
+        if not h:
+            return False
+        self._handle = h
+        self._lib = lib
+        return True
+
+    def feed(self, batch: ReadBatch) -> bool:
+        import ctypes
+        reads = batch.reads
+        R = len(batch.pos)
+        if self._mode is None:
+            self._refid = int(reads.refid[0]) if R else 0
+            self._mode = ("native" if self._start_native(self._refid)
+                          else "py")
+        if R == 0:
+            return True
+        if self._mode == "py":
+            dense, st = run_deposits_py(self.L, batch, self.chr_name_lower,
+                                        self.cfg, self.drv, self.scan_start,
+                                        dense=self._py_dense,
+                                        st=self._py_state)
+            self._py_dense, self._py_state = dense, st
+            self.read_base += R
+            return True
+
+        eligible = (batch.keep & (batch.pos >= self.scan_start)) \
+            .astype(np.uint8)
+        aux = _parse_aux_arrays(batch, self.chr_name_lower.encode(),
+                                eligible.astype(bool) if self.cfg.splitread
+                                else np.zeros(R, bool))
+        # retain inserted-sequence sources: reads with any I op (the only
+        # reads whose bytes the typed state can reference later)
+        elig_b = eligible.astype(bool)
+        ops = (reads.cigar & 0xF)
+        n_ops = np.diff(reads.cigar_off)
+        has_ins = np.zeros(R, bool)
+        from grom_tpu.ingest.bam import CINS
+        ins_reads = np.unique(np.repeat(np.arange(R), n_ops)[ops == CINS])
+        has_ins[ins_reads] = True
+        for i in np.flatnonzero(has_ins & elig_b):
+            s0, s1 = int(reads.seq_off[i]), int(reads.seq_off[i + 1])
+            self._indel_seqs[self.read_base + int(i)] = \
+                reads.seq[s0:s1].tobytes()
+
+        holds = []
+
+        def p(a, dt):
+            a = np.ascontiguousarray(a, dt)
+            holds.append(a)
+            return a.ctypes.data_as(ctypes.c_void_p)
+
+        rc = self._lib.gn_deposits_feed(
+            self._handle, ctypes.c_long(R), ctypes.c_long(self.read_base),
+            p(batch.pos, np.int64), p(batch.flag, np.int32),
+            p(batch.mapq, np.int32), p(batch.mchr, np.int32),
+            p(batch.mpos, np.int64), p(batch.tlen, np.int64),
+            p(batch.lseq, np.int64), p(batch.start_adj, np.int64),
+            p(batch.end_adj, np.int64), p(batch.end_adj_indel, np.int64),
+            p(batch.add, np.int32), p(eligible, np.uint8),
+            p(reads.cigar, np.uint32), p(reads.cigar_off, np.int64),
+            p(aux[0], np.uint8), p(aux[1], np.int64), p(aux[2], np.uint8),
+            p(aux[3], np.int32), p(aux[4], np.int32), p(aux[5], np.int32),
+            p(aux[6], np.int32))
+        if rc != 0:
+            self._lib.gn_deposits_abort(self._handle)
+            self._handle = None
+            return False
+        self.read_base += R
+        return True
+
+    def rd_gate_partial(self, lo: int, hi: int, carry: int
+                        ) -> Tuple[np.ndarray, int]:
+        """(one_base_rd + indel_sc_rd) over [lo, hi) plus the rd running
+        value to carry into the next call — the device SNV-screen gate,
+        readable mid-stream. Valid once every read with pos < hi + the
+        deposit window's backward reach has been fed (the streamed driver
+        guarantees this by lagging the device scan one chunk behind the
+        deposit feed)."""
+        if self._mode == "py":
+            d = self._py_dense
+            return (d.rd[lo:hi].astype(np.int64)
+                    + d.indel_sc_rd[lo:hi]), carry
+        seg = self._diff[0][lo:hi].astype(np.int64)
+        vals = np.cumsum(seg)
+        vals += carry
+        new_carry = int(vals[-1]) if hi > lo else carry
+        return vals + self._point[14][lo:hi], new_carry
+
+    def finish(self) -> Tuple[DenseArrays, EvidenceState]:
+        import ctypes
+
+        from grom_tpu.native import DepOut
+        if self._mode == "py" or self._mode is None:
+            if self._py_dense is None:
+                self._py_dense = DenseArrays.zeros(self.L)
+                self._py_state = EvidenceState()
+            return self._py_dense, self._py_state
+        out = ctypes.POINTER(DepOut)()
+        rc = self._lib.gn_deposits_finish(self._handle, ctypes.byref(out))
+        self._handle = None
+        if rc != 0:
+            raise RuntimeError("deposits finish failed rc=%d" % rc)
+        st = _marshal_dep_out(self._lib, out,
+                              seq_lookup=self._indel_seqs.get)
+        dense = _dense_from_buffers(self.L, self._diff, self._point)
+        return dense, st
+
+
+def _marshal_dep_out(lib, out, seq_lookup=None, reads=None) -> EvidenceState:
+    """Convert the C engine's sparse output into an EvidenceState.
+    ``seq_lookup(global_read_idx) -> bytes`` resolves indel_i sequences in
+    session mode; ``reads`` resolves them from a whole-chromosome batch."""
+    import numpy as np
+    try:
+        o = out.contents
+        n_p, n_o = o.n_prim, o.n_other
+        as_np = lambda ptr, n, dt: (np.ctypeslib.as_array(ptr, shape=(n,))
+                                    .astype(dt, copy=True) if n else
+                                    np.empty(0, dt))
+        pp = as_np(o.prim_pos, n_p, np.int64)
+        pe = as_np(o.prim_etype, n_p, np.int32)
+        pc = as_np(o.prim_count, n_p, np.int32)
+        pd = as_np(o.prim_dist, n_p, np.float64)
+        prs = as_np(o.prim_rs, n_p, np.int64)
+        pre = as_np(o.prim_re, n_p, np.int64)
+        pm = as_np(o.prim_mchr, n_p, np.int32)
+        psr = as_np(o.prim_seq_read, n_p, np.int32)
+        pso = as_np(o.prim_seq_off, n_p, np.int32)
+        psl = as_np(o.prim_seq_len, n_p, np.int32)
+        op_ = as_np(o.oth_pos, n_o, np.int64)
+        ot = as_np(o.oth_type, n_o, np.int32)
+        oc = as_np(o.oth_count, n_o, np.int32)
+        od = as_np(o.oth_dist, n_o, np.float64)
+        ors = as_np(o.oth_rs, n_o, np.int64)
+        ore = as_np(o.oth_re, n_o, np.int64)
+        om = as_np(o.oth_mchr, n_o, np.int32)
+    finally:
+        lib.gn_deposits_free(out)
+
+    st = EvidenceState()
+    primary = st.primary
+    for i in range(n_p):
+        p_ = Primary()
+        p_.count = int(pc[i])
+        p_.dist = float(pd[i])
+        p_.rs = int(prs[i])
+        p_.re = int(pre[i])
+        p_.mchr = int(pm[i])
+        if psr[i] >= 0:
+            off, ln = int(pso[i]), int(psl[i])
+            if seq_lookup is not None:
+                sb = seq_lookup(int(psr[i]))
+                p_.seq = sb[off:off + ln] if sb is not None else None
+            else:
+                s0 = int(reads.seq_off[psr[i]]) + off
+                p_.seq = reads.seq[s0:s0 + ln].tobytes()
+        primary[(int(pe[i]), int(pp[i]))] = p_
+    other = st.other
+    for i in range(n_o):
+        s_ = OtherSlot()
+        s_.count = int(oc[i])
+        s_.type = int(ot[i])
+        s_.dist = float(od[i])
+        s_.rs = int(ors[i])
+        s_.re = int(ore[i])
+        s_.mchr = int(om[i])
+        pos_i = int(op_[i])
+        sl = other.get(pos_i)
+        if sl is None:
+            other[pos_i] = [s_]
+        else:
+            sl.append(s_)
+    return st
+
+
+def _dense_from_buffers(L: int, diff, point) -> DenseArrays:
+    d = diff
+    return DenseArrays(
+        chr_len=L, rd=d[0][:L], conc=d[1][:L], ins=d[2][:L],
+        munmapped_f=d[3][:L], munmapped_r=d[4][:L],
+        sc_left=point[0], sc_right=point[1], sc_left_rd=point[2],
+        sc_right_rd=point[3], sc_rd=point[4],
+        ctx_sc_left=point[5], ctx_sc_right=point[6], ctx_sc_left_rd=point[7],
+        ctx_sc_right_rd=point[8], ctx_sc_rd=point[9],
+        indel_sc_left=point[10], indel_sc_right=point[11],
+        indel_sc_left_rd=point[12], indel_sc_right_rd=point[13],
+        indel_sc_rd=point[14], indel_d_f_rd=point[15], indel_d_r_rd=point[16],
+    )
+
+
 def run_deposits_native(chrom_len: int, batch: ReadBatch,
                         chr_name_lower: str, cfg: GromConfig,
                         drv: DerivedConfig, scan_start: int
@@ -456,84 +702,23 @@ def run_deposits_native(chrom_len: int, batch: ReadBatch,
     if rc != 0:
         return None
 
-    try:
-        o = out.contents
-        n_p, n_o = o.n_prim, o.n_other
-        as_np = lambda ptr, n, dt: (np.ctypeslib.as_array(ptr, shape=(n,))
-                                    .astype(dt, copy=True) if n else
-                                    np.empty(0, dt))
-        pp = as_np(o.prim_pos, n_p, np.int64)
-        pe = as_np(o.prim_etype, n_p, np.int32)
-        pc = as_np(o.prim_count, n_p, np.int32)
-        pd = as_np(o.prim_dist, n_p, np.float64)
-        prs = as_np(o.prim_rs, n_p, np.int64)
-        pre = as_np(o.prim_re, n_p, np.int64)
-        pm = as_np(o.prim_mchr, n_p, np.int32)
-        psr = as_np(o.prim_seq_read, n_p, np.int32)
-        pso = as_np(o.prim_seq_off, n_p, np.int32)
-        psl = as_np(o.prim_seq_len, n_p, np.int32)
-        op_ = as_np(o.oth_pos, n_o, np.int64)
-        ot = as_np(o.oth_type, n_o, np.int32)
-        oc = as_np(o.oth_count, n_o, np.int32)
-        od = as_np(o.oth_dist, n_o, np.float64)
-        ors = as_np(o.oth_rs, n_o, np.int64)
-        ore = as_np(o.oth_re, n_o, np.int64)
-        om = as_np(o.oth_mchr, n_o, np.int32)
-    finally:
-        lib.gn_deposits_free(out)
-
-    st = EvidenceState()
-    primary = st.primary
-    seq_buf = reads.seq
-    seq_off_arr = reads.seq_off
-    for i in range(n_p):
-        p_ = Primary()
-        p_.count = int(pc[i])
-        p_.dist = float(pd[i])
-        p_.rs = int(prs[i])
-        p_.re = int(pre[i])
-        p_.mchr = int(pm[i])
-        if psr[i] >= 0:
-            s0 = int(seq_off_arr[psr[i]]) + int(pso[i])
-            p_.seq = seq_buf[s0:s0 + int(psl[i])].tobytes()
-        primary[(int(pe[i]), int(pp[i]))] = p_
-    other = st.other
-    for i in range(n_o):
-        s_ = OtherSlot()
-        s_.count = int(oc[i])
-        s_.type = int(ot[i])
-        s_.dist = float(od[i])
-        s_.rs = int(ors[i])
-        s_.re = int(ore[i])
-        s_.mchr = int(om[i])
-        pos_i = int(op_[i])
-        sl = other.get(pos_i)
-        if sl is None:
-            other[pos_i] = [s_]
-        else:
-            sl.append(s_)
-
-    d = diff
-    dense = DenseArrays(
-        chr_len=L, rd=d[0][:L], conc=d[1][:L], ins=d[2][:L],
-        munmapped_f=d[3][:L], munmapped_r=d[4][:L],
-        sc_left=point[0], sc_right=point[1], sc_left_rd=point[2],
-        sc_right_rd=point[3], sc_rd=point[4],
-        ctx_sc_left=point[5], ctx_sc_right=point[6], ctx_sc_left_rd=point[7],
-        ctx_sc_right_rd=point[8], ctx_sc_rd=point[9],
-        indel_sc_left=point[10], indel_sc_right=point[11],
-        indel_sc_left_rd=point[12], indel_sc_right_rd=point[13],
-        indel_sc_rd=point[14], indel_d_f_rd=point[15], indel_d_r_rd=point[16],
-    )
+    st = _marshal_dep_out(lib, out, reads=reads)
+    dense = _dense_from_buffers(L, diff, point)
     return dense, st
 
 
 def run_deposits_py(chrom_len: int, batch: ReadBatch, chr_name_lower: str,
                     cfg: GromConfig, drv: DerivedConfig,
-                    scan_start: int) -> Tuple[DenseArrays, EvidenceState]:
-    """Replay every kept read's deposits. Returns dense arrays + typed state."""
-    dense = DenseArrays.zeros(chrom_len)
-    st = EvidenceState()
+                    scan_start: int, dense: Optional[DenseArrays] = None,
+                    st: Optional[EvidenceState] = None
+                    ) -> Tuple[DenseArrays, EvidenceState]:
+    """Replay every kept read's deposits. Returns dense arrays + typed state.
+
+    ``dense``/``st`` may be passed in to accumulate across coordinate-sorted
+    read chunks (the Python engine's typed state has no window, so chunked
+    replay in record order is identical to one pass)."""
+    dense = dense if dense is not None else DenseArrays.zeros(chrom_len)
+    st = st if st is not None else EvidenceState()
 
     im = drv.insert_max
     imin = drv.insert_min

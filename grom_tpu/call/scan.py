@@ -141,9 +141,14 @@ def accumulate_chromosome(chrom: np.ndarray, batch: ReadBatch,
     return arr
 
 
-def _accumulate_native(arr: ChromArrays, chrom, batch, eligible, cfg) -> bool:
+def _accumulate_native(arr: ChromArrays, chrom, batch, eligible, cfg,
+                       lo: int = 0, hi: int = 0,
+                       finalize: bool = True) -> bool:
     """Native single-pass tally (native/grom_scan.c). True on success.
-    Bit-identical to the Python path by tests/test_native_scan.py."""
+    Bit-identical to the Python path by tests/test_native_scan.py.
+    ``lo``/``hi`` gate deposits to a position range and ``finalize`` defers
+    the rd-list prefix sums — the streaming-session form (chunked feeds of
+    overlapping reads into shared arrays)."""
     import ctypes
 
     from grom_tpu.native import get_lib
@@ -165,8 +170,8 @@ def _accumulate_native(arr: ChromArrays, chrom, batch, eligible, cfg) -> bool:
         name_len = np.char.str_len(narr).clip(0, 255).astype(np.uint8)
 
     L = arr.chr_len
-    params = np.array([L, cfg.min_mapq, cfg.min_base_qual, cfg.min_snv, 50],
-                      np.int64)
+    params = np.array([L, cfg.min_mapq, cfg.min_base_qual, cfg.min_snv, 50,
+                       lo, hi, 1 if finalize else 0], np.int64)
 
     holds = []
 
@@ -209,9 +214,11 @@ def _accumulate_native(arr: ChromArrays, chrom, batch, eligible, cfg) -> bool:
     return rc == 0
 
 
-def _accumulate_rd_lists(arr, batch, eligible, cfg):
+def _accumulate_rd_lists(arr, batch, eligible, cfg, lo: int = 0,
+                         hi: int = 0):
     """caf_rd_* per-base lists from M spans (src/GROM.c:6605-6664). A span is
-    deposited only when pos>=0 and pos+len < chr_len (strict)."""
+    deposited only when pos>=0 and pos+len < chr_len (strict; evaluated on
+    the WHOLE span). ``lo``/``hi`` clip the added range for chunked feeds."""
     sel = eligible[batch.span_read]
     ref = batch.span_ref[sel]
     ln = batch.span_len[sel]
@@ -219,33 +226,40 @@ def _accumulate_rd_lists(arr, batch, eligible, cfg):
     ok = (ref >= 0) & (ref + ln < arr.chr_len)
     ref, ln, rid = ref[ok], ln[ok], rid[ok]
     mapq = batch.mapq[rid]
-    hi = mapq >= cfg.min_mapq
+    hi_m = mapq >= cfg.min_mapq
+    hi_clip = hi if hi > 0 else arr.chr_len
+    s_cl = np.maximum(ref, lo)
+    e_cl = np.minimum(ref + ln, hi_clip)
+    keep = e_cl > s_cl
+    s_cl, e_cl, rid, mapq, hi_m = (s_cl[keep], e_cl[keep], rid[keep],
+                                   mapq[keep], hi_m[keep])
 
-    def span_add(dst, starts, lens, weights=None):
+    def span_add(dst, starts, ends, weights=None):
         d = np.zeros(arr.chr_len + 1, dtype=np.int64)
         if weights is None:
             np.add.at(d, starts, 1)
-            np.subtract.at(d, starts + lens, 1)
+            np.subtract.at(d, ends, 1)
         else:
             np.add.at(d, starts, weights)
-            np.subtract.at(d, starts + lens, weights)
+            np.subtract.at(d, ends, weights)
         dst += np.cumsum(d[:-1])
 
     mq_acc = np.zeros(arr.chr_len, np.int64)
-    span_add(mq_acc, ref, ln, mapq.astype(np.int64))
+    span_add(mq_acc, s_cl, e_cl, mapq.astype(np.int64))
     arr.rd_mq += mq_acc
     hi_acc = np.zeros(arr.chr_len, np.int64)
-    span_add(hi_acc, ref[hi], ln[hi])
+    span_add(hi_acc, s_cl[hi_m], e_cl[hi_m])
     arr.rd_hi += hi_acc.astype(np.int32)
     lo_acc = np.zeros(arr.chr_len, np.int64)
-    span_add(lo_acc, ref[~hi], ln[~hi])
+    span_add(lo_acc, s_cl[~hi_m], e_cl[~hi_m])
     arr.rd_lo += lo_acc.astype(np.int32)
 
 
 
 
 def _accumulate_snv(arr, chrom, batch, eligible, cfg,
-                    max_chunk_bases: int = 1_000_000):
+                    max_chunk_bases: int = 1_000_000,
+                    lo: int = 0, hi: int = 0):
     """Per-base SNV tally (src/GROM.c:6757-6984): quality-split counts with
     read-name dedup on high-quality mismatch bases.
 
@@ -260,18 +274,19 @@ def _accumulate_snv(arr, chrom, batch, eligible, cfg,
     cum = np.cumsum(lens)
     slots: Dict[int, List[bytes]] = {}
     name_cache: Dict[int, bytes] = {}
-    lo = 0
-    while lo < nspan:
-        base0 = int(cum[lo - 1]) if lo else 0
-        hi = int(np.searchsorted(cum, base0 + max_chunk_bases, side="left")) + 1
-        hi = min(max(hi, lo + 1), nspan)
-        _accumulate_snv_chunk(arr, chrom, batch, eligible, cfg, lo, hi,
-                              slots, name_cache)
-        lo = hi
+    s_lo = 0
+    while s_lo < nspan:
+        base0 = int(cum[s_lo - 1]) if s_lo else 0
+        s_hi = int(np.searchsorted(cum, base0 + max_chunk_bases,
+                                   side="left")) + 1
+        s_hi = min(max(s_hi, s_lo + 1), nspan)
+        _accumulate_snv_chunk(arr, chrom, batch, eligible, cfg, s_lo, s_hi,
+                              slots, name_cache, lo, hi)
+        s_lo = s_hi
 
 
 def _accumulate_snv_chunk(arr, chrom, batch, eligible, cfg, span_lo, span_hi,
-                          slots, name_cache):
+                          slots, name_cache, p_lo: int = 0, p_hi: int = 0):
     """One span-chunk of the SNV tally. Everything is folded into a handful
     of composite-key bincounts over the chunk's event stream:
     class*band + (pos - band_lo), with a dump row for gated-out events.
@@ -282,7 +297,9 @@ def _accumulate_snv_chunk(arr, chrom, batch, eligible, cfg, span_lo, span_hi,
     from grom_tpu.ingest.batches import expand_span_range
     rid, refpos, readidx = expand_span_range(batch, span_lo, span_hi)
     L = arr.chr_len
-    gate = eligible[rid] & (refpos >= 0) & (refpos < L)
+    p_hi = p_hi if p_hi > 0 else L
+    gate = eligible[rid] & (refpos >= p_lo) & (refpos < p_hi) & \
+        (refpos >= 0) & (refpos < L)
     if not gate.any():
         return
     pmin = int(refpos[gate].min())

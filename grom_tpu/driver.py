@@ -50,9 +50,38 @@ def resolve_engine() -> str:
         import jax
         if jax.default_backend() == "cpu":
             return "host"
+        if not _device_link_fast():
+            # accelerator present but behind a slow transport (e.g. a
+            # tunneled remote chip): the per-base tensors can't be shipped
+            # at a win — measured crossover, overridable via GROM_TPU_ENGINE
+            return "host"
         return "mesh" if len(jax.devices()) > 1 else "tpu"
     except Exception:
         return "host"
+
+
+_LINK_FAST: Optional[bool] = None
+
+
+def _device_link_fast(min_mb_s: float = 100.0) -> bool:
+    """One-shot host→device bandwidth probe (16 MB device_put). A locally
+    attached TPU moves GB/s; a tunneled chip moves ~MB/s, below the
+    crossover where shipping per-base tensors beats the host engines."""
+    global _LINK_FAST
+    if _LINK_FAST is None:
+        try:
+            import time
+
+            import jax
+            buf = np.zeros(16 << 20, np.uint8)
+            jax.device_put(buf[:1024]).block_until_ready()   # wake the path
+            t0 = time.perf_counter()
+            jax.device_put(buf).block_until_ready()
+            dt = time.perf_counter() - t0
+            _LINK_FAST = (16.0 / max(dt, 1e-9)) >= min_mb_s
+        except Exception:
+            _LINK_FAST = False
+    return _LINK_FAST
 
 
 def run(cfg: GromConfig, file_date: Optional[str] = None,
@@ -67,6 +96,25 @@ def run(cfg: GromConfig, file_date: Optional[str] = None,
     if cfg.one_chromosome:
         return run_child_region(cfg)
     from grom_tpu.utils.timing import phase, report
+    # progress prints mirroring the reference's stdout (src/GROM.c:22106-22111,
+    # :22274-22275, :1421-1426)
+    print("bam %s" % cfg.bam)
+    print("ref %s" % cfg.ref_fasta)
+    print("results %s" % cfg.out_vcf, flush=True)
+    if engine is None:
+        engine = resolve_engine()
+    if engine in ("tpu", "mesh"):
+        # claim the accelerator BEFORE ingest: some PJRT transports (e.g. a
+        # tunneled single-chip grant) expire if the first device touch comes
+        # long after process start, and an early claim also hides device
+        # bring-up behind the BAM decode
+        try:
+            import jax
+            jax.devices()
+        except Exception:
+            if os.environ.get("GROM_TPU_STRICT") == "1":
+                raise
+            engine = "host"
     info = fasta_mod.index_fasta(cfg.ref_fasta)
     streaming = os.path.exists(cfg.bam + ".bai")
     reads = None
@@ -82,6 +130,10 @@ def run(cfg: GromConfig, file_date: Optional[str] = None,
     drv = DerivedConfig.from_insert_stats(cfg, ins.insert_mean, ins.insert_min,
                                           ins.insert_max, ins.read_len,
                                           ins.mapped_read_bases)
+    print("insert mean, insert minimum, insert maximum: %d %d %d"
+          % (drv.insert_mean, drv.insert_min, drv.insert_max))
+    print("median read length: %d" % drv.read_len)
+    print("mappable genome length: %d" % info.mappable_length, flush=True)
 
     mq_table = binom.build_mq_table(cfg.min_mapq if cfg.min_mapq > 10 else 10,
                                     cfg.max_trials)
@@ -109,9 +161,25 @@ def run(cfg: GromConfig, file_date: Optional[str] = None,
 
     for refid, fa_name, creads, sel, chrom in _chromosome_stream(
             cfg, header, info, jobs, reads, streaming):
-        rows, ctx_recs = call_chromosome(chrom, creads, sel, refid,
-                                         fa_name.lower(), cfg, drv, mq_table,
-                                         hez_table, engine=engine, mesh=mesh)
+        print(fa_name.lower(), flush=True)   # chromosome progress (src/GROM.c:20908)
+        res = None
+        if creads is None:
+            # big chromosome: bounded-memory chunked streaming (reads are
+            # fetched per 32Mb genome chunk, never held whole)
+            def fetch(t0, t1, _r=refid):
+                return bam_mod.read_bam_region(cfg.bam, _r, t0, t1)[1]
+            res = call_chromosome_streamed(chrom, refid, fa_name.lower(),
+                                           cfg, drv, mq_table, hez_table,
+                                           fetch, engine=engine)
+            if res is None:   # freak input the streaming engines rejected
+                _, creads = bam_mod.read_bam_region(
+                    cfg.bam, refid, 0, int(header.ref_lengths[refid]))
+                sel = np.arange(len(creads.pos))
+        if res is None:
+            res = call_chromosome(chrom, creads, sel, refid,
+                                  fa_name.lower(), cfg, drv, mq_table,
+                                  hez_table, engine=engine, mesh=mesh)
+        rows, ctx_recs = res
         del creads
         writer.write_rows(rows)
         all_ctx.extend(ctx_recs)
@@ -120,8 +188,11 @@ def run(cfg: GromConfig, file_date: Optional[str] = None,
 
     ctx_path = _ctx_path(cfg.out_vcf)
     from grom_tpu.call.ctx import write_ctx_vcf
+    print("Translocations before filter: %d" % len(all_ctx))
     with phase("emit.ctx_merge"):
-        write_ctx_vcf(ctx_path, all_ctx, header.ref_names, cfg, drv, file_date)
+        n_bnd = write_ctx_vcf(ctx_path, all_ctx, header.ref_names, cfg, drv,
+                              file_date)
+    print("Translocations after filter: %d" % n_bnd, flush=True)
     report()
     return RunResult(cfg.out_vcf, ctx_path, n_records, ins)
 
@@ -148,10 +219,20 @@ def _chromosome_stream(cfg: GromConfig, header, info, jobs, reads,
     import queue
     import threading
     q: "queue.Queue" = queue.Queue(maxsize=1)
+    stream_thresh = int(os.environ.get("GROM_TPU_STREAM_BASES",
+                                       str(64 << 20)))
+    if os.environ.get("GROM_TPU_STREAM") == "1":
+        stream_thresh = 0
 
     def producer():
         try:
             for refid, fa_name in jobs:
+                if int(header.ref_lengths[refid]) > stream_thresh:
+                    # big chromosome: the consumer fetches reads chunk-wise
+                    chrom = fasta_mod.load_chromosome(cfg.ref_fasta, info,
+                                                      fa_name)
+                    q.put((refid, fa_name, None, chrom))
+                    continue
                 with phase("ingest.read_bam"):
                     _, creads = bam_mod.read_bam_region(
                         cfg.bam, refid, 0, int(header.ref_lengths[refid]))
@@ -171,7 +252,8 @@ def _chromosome_stream(cfg: GromConfig, header, info, jobs, reads,
         if isinstance(item, BaseException):
             raise item
         refid, fa_name, creads, chrom = item
-        yield refid, fa_name, creads, np.arange(len(creads.pos)), chrom
+        sel = np.arange(len(creads.pos)) if creads is not None else None
+        yield refid, fa_name, creads, sel, chrom
     t.join()
 
 
@@ -331,6 +413,250 @@ def _subset_reads(reads: bam_mod.RawReads, sel: np.ndarray) -> bam_mod.RawReads:
     )
 
 
+def call_chromosome_streamed(chrom: np.ndarray, refid: int, out_name: str,
+                             cfg: GromConfig, drv: DerivedConfig,
+                             mq_table: np.ndarray, hez_table: np.ndarray,
+                             fetch, engine: Optional[str] = None,
+                             chunk_bases: Optional[int] = None,
+                             region_start: int = 0
+                             ) -> Optional[Tuple[List[str], List[str]]]:
+    """Bounded-memory per-chromosome calling: reads are fetched, decoded and
+    consumed in genome-position CHUNKS (``fetch(t0, t1) -> RawReads``
+    overlapping [t0, t1)), so peak read memory is one chunk, not one
+    chromosome — the streaming re-expression of the reference's read ring
+    (src/GROM.c:82-324, which never holds more than 50k reads).
+
+    Exactness: deposits are fed the reads whose POS falls in each chunk
+    (record order preserved — the typed evidence state is order-dependent);
+    the per-base scan is fed every read OVERLAPPING the chunk with deposits
+    gated to the chunk's positions (position-local statistics, including the
+    read-name dedup, see every event of every position exactly once). The
+    device engine lags one chunk behind the deposit feed so its SNV-screen
+    gate (one_base_rd + indel_sc_rd) is final for the chunk it screens.
+
+    Returns None when a streaming engine cannot handle the data (freak
+    CIGARs overflowing the deposit ring) — the caller must redo the
+    chromosome via the whole-batch path."""
+    from grom_tpu.call.deposits import DepositsSession
+    from grom_tpu.utils.timing import phase
+
+    if engine is None:
+        engine = resolve_engine()
+    if engine == "mesh":
+        engine = "tpu"   # sharded accumulate is not chunk-ranged yet
+    device = engine == "tpu"
+    L = len(chrom)
+    C = chunk_bases or (32 << 20)
+    l0 = scan_mod.window_len_l0(cfg, drv)
+    scan_start = (2 * l0) // 4 + 1
+    if region_start > 0:
+        scan_start = max(scan_start, region_start - cfg.sub_region_overlap)
+    im = cfg.overlap_mult * drv.insert_max
+    # the device gate lag is sound only when a chunk spans the deposit
+    # window's backward reach
+    C = max(C, 8 * (drv.insert_max + 4 * drv.read_len))
+
+    dep = DepositsSession(L, out_name, cfg, drv, scan_start)
+    z0 = np.zeros(0, np.int64)
+    z4 = np.zeros((4, 0), np.int64)
+    if device:
+        arr = scan_mod.ChromArrays(
+            chr_len=L, rd_mq=np.zeros(L, np.int64),
+            rd_hi=np.zeros(L, np.int32), rd_lo=np.zeros(L, np.int32),
+            one_base_rd=None, indel_sc_rd=None, sc_rd=None,
+            snv=z4, snv_lowmq=z4, bq=z0, bq_all=z0, mq=z0, mq_all=z0,
+            bq_read_count=z0, mq_read_count=z0, read_count_all=z0,
+            pos_in_read=z4, fstrand=z4)
+        from grom_tpu.ops.accumulate import get_accumulator
+        acc = get_accumulator()
+        if acc is None:
+            return None
+        base_tot = np.zeros(L, np.int64)
+        cand_parts: List[dict] = []
+    else:
+        arr = scan_mod.ChromArrays(
+            chr_len=L, rd_mq=np.zeros(L, np.int64),
+            rd_hi=np.zeros(L, np.int32), rd_lo=np.zeros(L, np.int32),
+            one_base_rd=None, indel_sc_rd=None, sc_rd=None,
+            snv=np.zeros((4, L), np.int32),
+            snv_lowmq=np.zeros((4, L), np.int32),
+            bq=np.zeros(L, np.int32), bq_all=np.zeros(L, np.int32),
+            mq=np.zeros(L, np.int32), mq_all=np.zeros(L, np.int32),
+            bq_read_count=np.zeros(L, np.int32),
+            mq_read_count=np.zeros(L, np.int32),
+            read_count_all=np.zeros(L, np.int32),
+            pos_in_read=np.zeros((4, L), np.int32),
+            fstrand=np.zeros((4, L), np.int32))
+        base_tot = None
+
+    scan_native = None     # engine choice pinned on first chunk
+    skipped = 0
+    last_pos = -1
+    pending = None         # (lo, hi, batch) device job lagging one chunk
+    gate_carry = 0
+
+    def run_device(job):
+        nonlocal gate_carry
+        lo_j, hi_j, jbatch = job
+        gate, gate_carry = dep.rd_gate_partial(lo_j, hi_j, gate_carry)
+        gate_full = np.zeros(L, np.int64)
+        gate_full[lo_j:hi_j] = gate
+        elig_j = jbatch.keep & (jbatch.pos >= scan_start)
+        res = acc.run(chrom, jbatch, elig_j, cfg, gate_full,
+                      lo=lo_j, hi=hi_j, base_tot_out=base_tot)
+        if res is None:
+            return False
+        _, dev = res
+        if dev["n"]:
+            cand_parts.append(dev)
+        return True
+
+    for t0 in range(0, L, C):
+        t1 = min(t0 + C, L)
+        with phase("ingest.read_bam"):
+            creads = fetch(t0, t1)
+        n = len(creads.pos)
+        with phase("batch.build"):
+            batch_all = (build_batch(creads, refid, cfg.min_mapq,
+                                     cfg.add_factor, cfg.rmdup)
+                         if n else None)
+        if n:
+            i0 = int(np.searchsorted(creads.pos, t0, side="left"))
+            own = np.arange(i0, n)
+            skipped += int(np.searchsorted(creads.pos[i0:], scan_start,
+                                           side="left"))
+            if n > i0:
+                last_pos = max(last_pos, int(creads.pos[-1]))
+            with phase("batch.build"):
+                dep_batch = (build_batch(_subset_reads(creads, own), refid,
+                                         cfg.min_mapq, cfg.add_factor,
+                                         cfg.rmdup) if len(own) else None)
+            with phase("scan.deposits"):
+                if dep_batch is not None and not dep.feed(dep_batch):
+                    return None
+        # the previous chunk's gate is final now that deposits crossed t0
+        if pending is not None:
+            with phase("scan.device"):
+                if not run_device(pending):
+                    return None
+            pending = None
+        if not n:
+            continue
+        elig = batch_all.keep & (batch_all.pos >= scan_start)
+        if device:
+            with phase("scan.accumulate"):
+                scan_mod._accumulate_rd_lists(arr, batch_all, elig, cfg,
+                                              lo=t0, hi=t1)
+            pending = (t0, t1, batch_all)
+        else:
+            with phase("scan.accumulate"):
+                if scan_native is None:
+                    scan_native = scan_mod._accumulate_native(
+                        arr, chrom, batch_all, elig, cfg, lo=t0, hi=t1,
+                        finalize=False)
+                elif scan_native:
+                    if not scan_mod._accumulate_native(
+                            arr, chrom, batch_all, elig, cfg, lo=t0, hi=t1,
+                            finalize=False):
+                        return None
+                if not scan_native:
+                    scan_mod._accumulate_rd_lists(arr, batch_all, elig, cfg,
+                                                  lo=t0, hi=t1)
+                    scan_mod._accumulate_snv(arr, chrom, batch_all, elig,
+                                             cfg, lo=t0, hi=t1)
+        del creads, batch_all
+
+    with phase("scan.deposits"):
+        dense, ev = dep.finish()
+    if pending is not None:
+        with phase("scan.device"):
+            if not run_device(pending):
+                return None
+        pending = None
+    if not device and scan_native:
+        # deferred rd-list prefix sums (the native engine fed diffs)
+        np.cumsum(arr.rd_mq, out=arr.rd_mq)
+        np.cumsum(arr.rd_hi, out=arr.rd_hi)
+        np.cumsum(arr.rd_lo, out=arr.rd_lo)
+    arr.one_base_rd = dense.rd
+    arr.indel_sc_rd = dense.indel_sc_rd
+    arr.sc_rd = dense.sc_rd
+
+    scan_end = max(scan_start, last_pos - im) if last_pos >= 0 \
+        else scan_start - 1
+    with phase("call.snv"):
+        if device:
+            from grom_tpu.parallel.pipeline import MeshAccumulator
+            dev = MeshAccumulator._merge_cands(cand_parts)
+            cands = snv_mod.candidates_from_device(
+                dev, chrom, cfg, mq_table, hez_table, scan_start, scan_end)
+        else:
+            cands = snv_mod.detect_snv_candidates(chrom, arr, cfg, mq_table,
+                                                  hez_table, scan_start,
+                                                  scan_end)
+    return _finish_chromosome(chrom, arr, dense, ev, cands, base_tot,
+                              out_name, cfg, drv, mq_table, hez_table,
+                              scan_start, scan_end, skipped)
+
+
+def _finish_chromosome(chrom, arr, dense, ev, cands, base_tot, out_name,
+                       cfg: GromConfig, drv: DerivedConfig, mq_table,
+                       hez_table, scan_start: int, scan_end: int,
+                       skipped: int) -> Tuple[List[str], List[str]]:
+    """Post-scan detection + emission: SNV flush filter, SV detectors and
+    clustering, indels, CNV — shared by the whole-batch and streamed paths.
+    Returns (vcf_rows, ctx_records) in the reference's emission order."""
+    from grom_tpu.call import indel as indel_mod
+    from grom_tpu.call import sv as sv_mod
+    from grom_tpu.utils.timing import phase
+
+    with phase("call.snv"):
+        keep = snv_mod.flush_filter(cands, chrom, arr, cfg, drv, scan_start,
+                                    scan_end, skipped)
+        rows = snv_mod.format_snv_rows(cands, keep, chrom, out_name, cfg,
+                                       lseq=drv.read_len)
+
+    det = sv_mod.SvDetector(len(chrom), arr, dense, ev, cfg, drv,
+                            mq_table, hez_table)
+    with phase("call.sv_detect"):
+        det.run(scan_start, scan_end)
+    dup2 = sv_mod.cluster_paired(det.dup_list, cfg, drv)
+    del2 = sv_mod.cluster_paired(det.del_list, cfg, drv)
+    inv_f2 = sv_mod.cluster_paired(det.inv_f_list, cfg, drv)
+    inv_r2 = sv_mod.cluster_paired(det.inv_r_list, cfg, drv)
+    ins2 = sv_mod.cluster_ins(det.ins_list, cfg, drv)
+    ctx_f2 = sv_mod.cluster_ctx(det.ctx_f_list, cfg, drv)
+    ctx_r2 = sv_mod.cluster_ctx(det.ctx_r_list, cfg, drv)
+
+    with phase("call.indel"):
+        ins_list, del_list, d_index = indel_mod.detect_indels(
+            chrom, arr, dense, ev, cfg, drv, mq_table, hez_table,
+            scan_start, scan_end, base_tot=base_tot)
+
+    rows.extend(sv_mod.format_dup_rows(out_name, dup2, cfg))
+    rows.extend(sv_mod.format_inv_rows(out_name, inv_f2, inv_r2, arr, cfg, drv))
+    rows.extend(sv_mod.format_ins_rows(out_name, ins2, cfg))
+    ctx_records = sv_mod.format_ctx_records(out_name, ctx_f2, ctx_r2, cfg)
+    rows.extend(indel_mod.format_indel_rows(chrom, out_name, ins_list,
+                                            del_list, d_index, del2, cfg, drv))
+    rows.extend(sv_mod.format_del_rows(out_name, del2, del_list, d_index,
+                                       cfg, drv))
+
+    from grom_tpu.call import cnv as cnv_mod
+    from grom_tpu.ingest.fasta import is_chrx
+    gen1000: List[str] = []
+    with phase("call.cnv"):
+        rows.extend(cnv_mod.call_cnv(chrom, arr.rd_hi, arr.rd_lo, arr.rd_mq,
+                                     cfg, drv, out_name, is_chrx(out_name),
+                                     gen1000_out=gen1000))
+    if cfg.gen1000_window > 0:
+        # per-chromosome CN track file <out>.1000gen.<chr> (src/GROM.c:20246)
+        with open("%s.1000gen.%s" % (cfg.out_vcf, out_name), "w") as f:
+            for r in gen1000:
+                f.write(r + "\n")
+    return rows, ctx_records
+
+
 def call_chromosome(chrom: np.ndarray, reads: bam_mod.RawReads,
                     sel: np.ndarray, refid: int, out_name: str,
                     cfg: GromConfig, drv: DerivedConfig,
@@ -433,48 +759,6 @@ def call_chromosome(chrom: np.ndarray, reads: bam_mod.RawReads,
                                                   hez_table, scan_start,
                                                   scan_end)
 
-    with phase("call.snv"):
-        keep = snv_mod.flush_filter(cands, chrom, arr, cfg, drv, scan_start,
-                                    scan_end, skipped)
-        rows = snv_mod.format_snv_rows(cands, keep, chrom, out_name, cfg,
-                                       lseq=drv.read_len)
-
-    det = sv_mod.SvDetector(len(chrom), arr, dense, ev, cfg, drv,
-                            mq_table, hez_table)
-    with phase("call.sv_detect"):
-        det.run(scan_start, scan_end)
-    dup2 = sv_mod.cluster_paired(det.dup_list, cfg, drv)
-    del2 = sv_mod.cluster_paired(det.del_list, cfg, drv)
-    inv_f2 = sv_mod.cluster_paired(det.inv_f_list, cfg, drv)
-    inv_r2 = sv_mod.cluster_paired(det.inv_r_list, cfg, drv)
-    ins2 = sv_mod.cluster_ins(det.ins_list, cfg, drv)
-    ctx_f2 = sv_mod.cluster_ctx(det.ctx_f_list, cfg, drv)
-    ctx_r2 = sv_mod.cluster_ctx(det.ctx_r_list, cfg, drv)
-
-    with phase("call.indel"):
-        ins_list, del_list, d_index = indel_mod.detect_indels(
-            chrom, arr, dense, ev, cfg, drv, mq_table, hez_table,
-            scan_start, scan_end, base_tot=base_tot)
-
-    rows.extend(sv_mod.format_dup_rows(out_name, dup2, cfg))
-    rows.extend(sv_mod.format_inv_rows(out_name, inv_f2, inv_r2, arr, cfg, drv))
-    rows.extend(sv_mod.format_ins_rows(out_name, ins2, cfg))
-    ctx_records = sv_mod.format_ctx_records(out_name, ctx_f2, ctx_r2, cfg)
-    rows.extend(indel_mod.format_indel_rows(chrom, out_name, ins_list,
-                                            del_list, d_index, del2, cfg, drv))
-    rows.extend(sv_mod.format_del_rows(out_name, del2, del_list, d_index,
-                                       cfg, drv))
-
-    from grom_tpu.call import cnv as cnv_mod
-    from grom_tpu.ingest.fasta import is_chrx
-    gen1000: List[str] = []
-    with phase("call.cnv"):
-        rows.extend(cnv_mod.call_cnv(chrom, arr.rd_hi, arr.rd_lo, arr.rd_mq,
-                                     cfg, drv, out_name, is_chrx(out_name),
-                                     gen1000_out=gen1000))
-    if cfg.gen1000_window > 0:
-        # per-chromosome CN track file <out>.1000gen.<chr> (src/GROM.c:20246)
-        with open("%s.1000gen.%s" % (cfg.out_vcf, out_name), "w") as f:
-            for r in gen1000:
-                f.write(r + "\n")
-    return rows, ctx_records
+    return _finish_chromosome(chrom, arr, dense, ev, cands, base_tot,
+                              out_name, cfg, drv, mq_table, hez_table,
+                              scan_start, scan_end, skipped)

@@ -82,12 +82,23 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         [P, P, P, ctypes.POINTER(ctypes.POINTER(DepOut))]
     lib.gn_deposits_free.restype = None
     lib.gn_deposits_free.argtypes = [ctypes.POINTER(DepOut)]
+    lib.gn_deposits_init.restype = P
+    lib.gn_deposits_init.argtypes = [P, P, P, L, L]
+    lib.gn_deposits_feed.restype = I
+    lib.gn_deposits_feed.argtypes = [P, L, L] + [P] * 21
+    lib.gn_deposits_finish.restype = I
+    lib.gn_deposits_finish.argtypes = [
+        P, ctypes.POINTER(ctypes.POINTER(DepOut))]
+    lib.gn_deposits_abort.restype = None
+    lib.gn_deposits_abort.argtypes = [P]
     lib.gn_snv_accumulate.restype = I
     lib.gn_snv_accumulate.argtypes = [L] + [P] * 29
     lib.gn_cnv_window_scan.restype = L
     lib.gn_cnv_window_scan.argtypes = [P] * 13 + [L]
     lib.gn_intern_names.restype = L
     lib.gn_intern_names.argtypes = [P, P, L, P, P]
+    lib.gn_tri_weighted.restype = I
+    lib.gn_tri_weighted.argtypes = [P, L, L, P, P]
     return lib
 
 

@@ -302,12 +302,18 @@ class DeviceAccumulator:
         self._jax = jax
 
     def run(self, chrom: np.ndarray, batch, eligible: np.ndarray, cfg,
-            gate: np.ndarray):
+            gate: np.ndarray, lo: int = 0, hi: int = 0,
+            base_tot_out: np.ndarray = None):
+        """``lo``/``hi`` restrict processing to a position range (the
+        streamed chunked mode — spans are clipped at the range edges exactly
+        like tile edges); ``base_tot_out`` accumulates base_tot in place
+        across chunked calls."""
         import jax.numpy as jnp
         reads = batch.reads
         if reads.name_id is None or reads.name_len is None:
             return None
         L = len(chrom)
+        hi = hi if hi > 0 else L
 
         sindex = SpanIndex(batch)
 
@@ -317,17 +323,56 @@ class DeviceAccumulator:
         gate_u8 = (gate > 0).astype(np.uint8)
         seq_off64 = reads.seq_off.astype(np.int64)
 
-        base_tot = np.zeros(L, np.int64)
+        base_tot = (base_tot_out if base_tot_out is not None
+                    else np.zeros(L, np.int64))
         cand_parts = []
 
-        def process(t0, t1):
-            """One kernel call over [t0, t1) (width <= TILE_L); recursively
-            halves the range when a bucket overflows. Returns False only when
-            an overflow persists at MIN_SUBTILE width (caller falls back)."""
+        def _cap(n, floor, ceil):
+            # power-of-FOUR ladder above a high floor: adaptive enough to
+            # kill transfer padding on dense data, coarse enough that a
+            # machine sees only 1-2 distinct compiled shapes
+            v = floor
+            while v < n:
+                v *= 4
+            return min(v, ceil)
+
+        # ONE bucket-shape set per run, sized by the maxima over all tiles:
+        # per-tile shapes would trigger a compile per distinct combination
+        # (minutes each on remote-compile transports); chromosome-level caps
+        # give a single executable per chromosome profile, reused across
+        # chromosomes and runs via the persistent compile cache.
+        run_caps = {}
+        tile_stats = []
+        for w0 in range(lo, hi, TILE_L):
+            w1 = min(w0 + TILE_L, hi)
+            t_read, _, _, t_len = sindex.slice_range(w0, w1)
+            S = len(t_len)
+            if S == 0:
+                continue
+            r0 = int(t_read.min())
+            r1 = int(t_read.max()) + 1
+            tile_stats.append((S, int(t_len.sum()), r1 - r0,
+                               int(seq_off64[r1]) - int(seq_off64[r0])))
+        if tile_stats:
+            run_caps = dict(
+                s_cap=_cap(max(t[0] for t in tile_stats) + 1, 1 << 16, S_B),
+                e_cap=_cap(max(t[1] for t in tile_stats) + 1, 1 << 23, E_B),
+                r_cap=_cap(max(t[2] for t in tile_stats) + 1, 1 << 16, R_B),
+                q_cap=_cap(max(t[3] for t in tile_stats), 1 << 23, Q_B))
+
+        def submit(t0, t1):
+            """Dispatch one kernel call over [t0, t1) (width <= TILE_L) with
+            ADAPTIVE pow2 bucket sizes — sized by the range's actual span /
+            event / read / byte counts (floors bound the number of distinct
+            compiled shapes). Returns (t0, t1, caps, out) to collect later —
+            dispatch is async, so the next range's host prep and transfers
+            overlap this range's device compute. Recursively halves the
+            range when even the max buckets overflow; None only when an
+            overflow persists at MIN_SUBTILE width."""
             t_read, t_ref2, t_off2, t_len = sindex.slice_range(t0, t1)
             S = len(t_len)
             if S == 0:
-                return True
+                return []
             total_ev = int(t_len.sum())
             over = S + 1 > S_B or total_ev + 1 > E_B
             r0 = r1 = q0 = q1 = 0
@@ -339,35 +384,48 @@ class DeviceAccumulator:
                 over = (r1 - r0 > R_B) or (q1 - q0 > Q_B)
             if over:
                 if t1 - t0 <= MIN_SUBTILE:
-                    return False
+                    return None
                 mid = (t0 + t1) // 2
-                return process(t0, mid) and process(mid, t1)
+                a = submit(t0, mid)
+                b = submit(mid, t1)
+                if a is None or b is None:
+                    return None
+                return a + b
 
-            cum = np.zeros(S_B + 1, np.int32)
+            s_cap = max(run_caps.get("s_cap", 0), _cap(S + 1, 1 << 16, S_B))
+            e_cap = max(run_caps.get("e_cap", 0),
+                        _cap(total_ev + 1, 1 << 23, E_B))
+            r_cap = max(run_caps.get("r_cap", 0),
+                        _cap(r1 - r0 + 1, 1 << 16, R_B))
+            q_cap = max(run_caps.get("q_cap", 0), _cap(q1 - q0, 1 << 23, Q_B))
+            m_cap = max(e_cap // 8, 1 << 12)
+            k_cap = K_B
+            cum = np.zeros(s_cap + 1, np.int32)
             cum[1:S + 1] = np.cumsum(t_len)
             cum[S + 1:] = cum[S]
 
             out = _tile_kernel(
-                jnp.asarray(_pad_to((t_read - r0).astype(np.int32), S_B,
+                jnp.asarray(_pad_to((t_read - r0).astype(np.int32), s_cap,
                                     r1 - r0)),
-                jnp.asarray(_pad_to(t_ref2.astype(np.int32), S_B, TILE_L)),
-                jnp.asarray(_pad_to(t_off2.astype(np.int32), S_B)),
+                jnp.asarray(_pad_to(t_ref2.astype(np.int32), s_cap, TILE_L)),
+                jnp.asarray(_pad_to(t_off2.astype(np.int32), s_cap)),
                 jnp.asarray(cum),
-                jnp.asarray(_pad_to(elig_u8[r0:r1], R_B + 1)),
+                jnp.asarray(_pad_to(elig_u8[r0:r1], r_cap + 1)),
                 jnp.asarray(_pad_to(reads.mapq[r0:r1].astype(np.uint8),
-                                    R_B + 1)),
+                                    r_cap + 1)),
                 jnp.asarray(_pad_to(reads.flag[r0:r1].astype(np.int32),
-                                    R_B + 1)),
+                                    r_cap + 1)),
                 jnp.asarray(_pad_to(reads.lseq[r0:r1].astype(np.int32),
-                                    R_B + 1)),
+                                    r_cap + 1)),
                 jnp.asarray(_pad_to((seq_off64[r0:r1] - q0).astype(np.int32),
-                                    R_B + 1)),
-                jnp.asarray(_pad_to(reads.seq[q0:q1].astype(np.uint8), Q_B)),
-                jnp.asarray(_pad_to(reads.qual[q0:q1].astype(np.uint8), Q_B)),
+                                    r_cap + 1)),
+                jnp.asarray(_pad_to(reads.seq[q0:q1].astype(np.uint8), q_cap)),
+                jnp.asarray(_pad_to(reads.qual[q0:q1].astype(np.uint8),
+                                    q_cap)),
                 jnp.asarray(_pad_to(reads.name_id[r0:r1].astype(np.int32),
-                                    R_B + 1, -1)),
+                                    r_cap + 1, -1)),
                 jnp.asarray(_pad_to(reads.name_len[r0:r1].astype(np.uint8),
-                                    R_B + 1)),
+                                    r_cap + 1)),
                 jnp.asarray(_pad_to(np.append(up[t0:t1], np.uint8(0)),
                                     TILE_L + 1)),
                 jnp.asarray(_pad_to(np.append(is_n[t0:t1], True),
@@ -377,14 +435,23 @@ class DeviceAccumulator:
                 jnp.int32(S),
                 min_mapq=cfg.min_mapq, min_bq=cfg.min_base_qual,
                 min_snv=cfg.min_snv, name_len_cap=50,
-                e_cap=E_B, m_cap=M_B, k_cap=K_B)
+                e_cap=e_cap, m_cap=m_cap, k_cap=k_cap)
+            return [(t0, t1, m_cap, k_cap, out)]
+
+        def collect(entry):
+            t0, t1, m_cap, k_cap, out = entry
             bt, n_cand, n_mm, cand = out
             n_cand = int(n_cand)
-            if int(n_mm) > M_B or n_cand > K_B:
+            if int(n_mm) > m_cap or n_cand > k_cap:
+                # rare bucket overflow detected at collect: redo halved
                 if t1 - t0 <= MIN_SUBTILE:
                     return False
                 mid = (t0 + t1) // 2
-                return process(t0, mid) and process(mid, t1)
+                sub = submit(t0, mid)
+                sub2 = submit(mid, t1)
+                if sub is None or sub2 is None:
+                    return False
+                return all(collect(e) for e in sub + sub2)
             base_tot[t0:t1] = np.asarray(bt)[:t1 - t0]
             if n_cand:
                 part = {k: np.asarray(v) for k, v in cand.items()}
@@ -400,8 +467,14 @@ class DeviceAccumulator:
                     cand_parts.append(part)
             return True
 
-        for w0 in range(0, L, TILE_L):
-            if not process(w0, min(w0 + TILE_L, L)):
+        pending = []
+        for w0 in range(lo, hi, TILE_L):
+            sub = submit(w0, min(w0 + TILE_L, hi))
+            if sub is None:
+                return None
+            pending.extend(sub)
+        for entry in pending:
+            if not collect(entry):
                 return None
 
         if cand_parts:

@@ -101,6 +101,15 @@ typedef struct {
     gn_dep_out *out;
     long prim_cap, oth_cap;
     int err;
+    /* streaming-session state (gn_deposits_init/feed/finish) */
+    int64_t L, im, imin, imean, sc_min, min_mapq;
+    int64_t max_split_loss, min_sr_len, read_len, indel_i_cap;
+    int splitread;
+    int32_t refid;
+    double tol_base;
+    int32_t **dense;
+    int64_t back, max_lseq_cap, max_ref_span_cap;
+    int64_t prev_pos;            /* cross-feed sortedness check */
 } engine;
 
 static int grow_prim(engine *e) {
@@ -430,8 +439,75 @@ enum {
 
 /* returns 0 on success; 1 = window overflow / unsorted input (caller must
  * fall back to the Python path); 2 = allocation failure */
-GN_API int gn_deposits_run(
-    long R,
+/* ---- streaming session API ------------------------------------------
+ * gn_deposits_init allocates a session whose pstate ring covers reads with
+ * lseq <= max_lseq and cigar ref-span <= max_ref_span; gn_deposits_feed
+ * replays one coordinate-sorted chunk of reads (chunks must arrive in
+ * position order); gn_deposits_finish flushes, prefix-sums the span-diff
+ * dense channels and hands the sparse outputs over. gn_deposits_run is the
+ * single-shot wrapper. */
+
+GN_API void *gn_deposits_init(
+    const int64_t *params_i, const double *params_d, int32_t **dense,
+    int64_t max_lseq, int64_t max_ref_span) {
+
+    engine *e = (engine *)calloc(1, sizeof(engine));
+    if (!e)
+        return NULL;
+    e->L = params_i[PI_CHROM_LEN];
+    e->im = params_i[PI_IM];
+    e->imin = params_i[PI_IMIN];
+    e->imean = params_i[PI_IMEAN];
+    e->sc_min = params_i[PI_SC_MIN];
+    e->min_mapq = params_i[PI_MIN_MAPQ];
+    e->max_split_loss = params_i[PI_MAX_SPLIT_LOSS];
+    e->min_sr_len = params_i[PI_MIN_SR_LEN];
+    e->read_len = params_i[PI_READ_LEN];
+    e->indel_i_cap = params_i[PI_INDEL_I_CAP];
+    e->splitread = (int)params_i[PI_SPLITREAD];
+    e->refid = (int32_t)params_i[PI_REFID];
+    e->tol_base = params_d[0];
+    e->dense = dense;
+    e->max_lseq_cap = max_lseq;
+    e->max_ref_span_cap = max_ref_span;
+    e->prev_pos = -1;
+
+    int64_t back = e->im + 2 * max_lseq + 64;
+    int64_t fwd = e->im + max_lseq + max_ref_span + 64;
+    e->back = back;
+    int64_t W = 1;
+    while (W < back + fwd + 2)
+        W <<= 1;
+    e->ring = (pstate *)malloc((size_t)W * sizeof(pstate));
+    if (!e->ring) {
+        free(e);
+        return NULL;
+    }
+    for (int64_t i = 0; i < W; i++)
+        e->ring[i].gen = -1;
+    e->wmask = W - 1;
+    e->flushed = 0;
+    e->out = (gn_dep_out *)calloc(1, sizeof(gn_dep_out));
+    if (!e->out) {
+        free(e->ring);
+        free(e);
+        return NULL;
+    }
+    return e;
+}
+
+GN_API void gn_deposits_abort(void *h) {
+    engine *e = (engine *)h;
+    if (!e)
+        return;
+    free(e->ring);
+    free(e->pool);
+    gn_deposits_free(e->out);
+    free(e);
+}
+
+GN_API int gn_deposits_feed(
+    void *h, long R, int64_t read_base,
     const int64_t *pos, const int32_t *flag, const int32_t *mapq,
     const int32_t *mchr_a, const int64_t *mpos_a, const int64_t *tlen_a,
     const int64_t *lseq_a, const int64_t *sadj_a, const int64_t *eadj_a,
@@ -440,34 +516,36 @@ GN_API int gn_deposits_run(
     const uint8_t *aux_match_a, const int64_t *aux_pos_a,
     const uint8_t *aux_strand_a, const int32_t *aux_mapq_a,
     const int32_t *aux_sadj_a, const int32_t *aux_eadj_a,
-    const int32_t *aux_eadj_i_a,
-    const int64_t *params_i, const double *params_d,
-    int32_t **dense, gn_dep_out **out_p) {
+    const int32_t *aux_eadj_i_a) {
 
-    const int64_t L = params_i[PI_CHROM_LEN];
-    const int64_t im = params_i[PI_IM];
-    const int64_t imin = params_i[PI_IMIN];
-    const int64_t imean = params_i[PI_IMEAN];
-    const int64_t sc_min = params_i[PI_SC_MIN];
-    const int64_t min_mapq = params_i[PI_MIN_MAPQ];
-    const int64_t max_split_loss = params_i[PI_MAX_SPLIT_LOSS];
-    const int64_t min_sr_len = params_i[PI_MIN_SR_LEN];
-    const int64_t read_len = params_i[PI_READ_LEN];
-    const int64_t indel_i_cap = params_i[PI_INDEL_I_CAP];
-    const int splitread = (int)params_i[PI_SPLITREAD];
-    const int32_t refid = (int32_t)params_i[PI_REFID];
-    const double tol_base = params_d[0];
+    engine *e = (engine *)h;
+    const int64_t L = e->L;
+    const int64_t im = e->im;
+    const int64_t imin = e->imin;
+    const int64_t imean = e->imean;
+    const int64_t sc_min = e->sc_min;
+    const int64_t min_mapq = e->min_mapq;
+    const int64_t max_split_loss = e->max_split_loss;
+    const int64_t min_sr_len = e->min_sr_len;
+    const int64_t read_len = e->read_len;
+    const int64_t indel_i_cap = e->indel_i_cap;
+    const int splitread = e->splitread;
+    const int32_t refid = e->refid;
+    const double tol_base = e->tol_base;
+    int32_t **dense = e->dense;
+    const int64_t back = e->back;
+    (void)min_mapq; (void)read_len;
 
-    /* pre-scan: max cigar ref span + max lseq + sorted check */
-    int64_t max_ref_span = 0, max_lseq = 0, prev_pos = -1;
+    /* window capacity + sortedness guards */
+    int64_t prev_pos = e->prev_pos;
     for (long i = 0; i < R; i++) {
         if (!elig[i])
             continue;
         if (pos[i] < prev_pos)
             return 1;
         prev_pos = pos[i];
-        if (lseq_a[i] > max_lseq)
-            max_lseq = lseq_a[i];
+        if (lseq_a[i] > e->max_lseq_cap)
+            return 1;
         int64_t span = 0;
         for (int64_t c = cigar_off[i]; c < cigar_off[i + 1]; c++) {
             uint32_t op = cigar[c] & 0xF;
@@ -475,37 +553,18 @@ GN_API int gn_deposits_run(
                 op == CEQUAL || op == CDIFF)
                 span += cigar[c] >> 4;
         }
-        if (span > max_ref_span)
-            max_ref_span = span;
+        if (span > e->max_ref_span_cap)
+            return 1;
     }
-    int64_t back = im + 2 * max_lseq + 64;
-    int64_t fwd = im + max_lseq + max_ref_span + 64;
-    int64_t W = 1;
-    while (W < back + fwd + 2)
-        W <<= 1;
-
-    engine e;
-    memset(&e, 0, sizeof(e));
-    e.ring = (pstate *)malloc((size_t)W * sizeof(pstate));
-    if (!e.ring)
-        return 2;
-    for (int64_t i = 0; i < W; i++)
-        e.ring[i].gen = -1;
-    e.wmask = W - 1;
-    e.flushed = 0;
-    e.out = (gn_dep_out *)calloc(1, sizeof(gn_dep_out));
-    if (!e.out) {
-        free(e.ring);
-        return 2;
-    }
+    e->prev_pos = prev_pos;
 
 #define DEP(et, p, d, a, af, rv, rm, mc, tb) \
-    deposit_typed(&e, et, p, d, a, af, rv, rm, mc, tb, -1, -1, -1)
+    deposit_typed(e, et, p, d, a, af, rv, rm, mc, tb, -1, -1, -1)
 #define RD_SPAN(s, ee) span_diff(dense[D_RD], L, (s), (ee), 1)
 #define RD_POINT(p) do { int64_t _p = (p); if (_p >= 0 && _p < L) { \
         dense[D_RD][_p] += 1; dense[D_RD][_p + 1] -= 1; } } while (0)
 
-    for (long i = 0; i < R && !e.err; i++) {
+    for (long i = 0; i < R && !e->err; i++) {
         if (!elig[i])
             continue;
         int64_t rpos = pos[i];
@@ -530,7 +589,7 @@ GN_API int gn_deposits_run(
         int64_t expected_end = rpos - sadj - eadj_i + im - lseq;
 
         if (rpos > back)
-            flush_to(&e, rpos - back);
+            flush_to(e, rpos - back);
 
         int aux_match = splitread && aux_match_a[i];
         int64_t aux_pos = aux_pos_a[i];
@@ -597,7 +656,7 @@ GN_API int gn_deposits_run(
         /* ---- cigar walk: indel_i / indel_d (src/GROM.c:7190-7430) ---- */
         {
             int64_t tpos = rpos, rbase = 0;
-            for (int64_t c = cigar_off[i]; c < cigar_off[i + 1] && !e.err; c++) {
+            for (int64_t c = cigar_off[i]; c < cigar_off[i + 1] && !e->err; c++) {
                 uint32_t op = cigar[c] & 0xF;
                 int64_t ln = cigar[c] >> 4;
                 if (op == CSOFT_CLIP) {
@@ -610,9 +669,10 @@ GN_API int gn_deposits_run(
                 } else if (op == CINS) {
                     if (tpos >= 0 && tpos < L) {
                         if (ln <= indel_i_cap)
-                            deposit_typed(&e, E_INDEL_I, tpos, (double)ln, add,
+                            deposit_typed(e, E_INDEL_I, tpos, (double)ln, add,
                                           addf, 0, RM_END, -1, 0.0,
-                                          (int32_t)i, (int32_t)rbase, (int32_t)ln);
+                                          (int32_t)(read_base + i),
+                                          (int32_t)rbase, (int32_t)ln);
                         else
                             DEP(E_INDEL_I, tpos, (double)ln, add, addf, 0,
                                 RM_END, -1, 0.0);
@@ -754,14 +814,14 @@ GN_API int gn_deposits_run(
                                 int64_t lo_r = rpos < aux_pos ? rpos : aux_pos;
                                 RD_POINT(dlp_e);
                                 if (dlp_e >= 0 && dlp_e < L) {
-                                    pstate *ps = get_ps(&e, dlp_e);
+                                    pstate *ps = get_ps(e, dlp_e);
                                     int first_set = ps &&
                                         (!(ps->touched & (1u << E_DUP_F)) ||
                                          ps->p_count[E_DUP_F] == 0);
                                     DEP(E_DUP_F, dlp_e, dist, add, addf, hi_r,
                                         RM_MINMAX, -1, tol_base);
-                                    if (first_set && !e.err) {
-                                        pstate *ps2 = get_ps(&e, dlp_e);
+                                    if (first_set && !e->err) {
+                                        pstate *ps2 = get_ps(e, dlp_e);
                                         if (ps2) {
                                             touch_primary(ps2, E_DEL_F);
                                             ps2->p_re[E_DEL_F] = hi_r;
@@ -787,7 +847,7 @@ GN_API int gn_deposits_run(
                             RD_SPAN(lo, hi);
                             int64_t x0 = lo < 0 ? 0 : lo;
                             int64_t x1 = hi > L ? L : hi;
-                            for (int64_t x = x0; x < x1 && !e.err; x++) {
+                            for (int64_t x = x0; x < x1 && !e->err; x++) {
                                 int full = (eadj < sc_min) || (x == lo);
                                 DEP(E_DEL_F, x, (double)tlen,
                                     full ? add : add / 2,
@@ -801,7 +861,7 @@ GN_API int gn_deposits_run(
                             int64_t f_limit = rpos - sadj - eadj_i + im - lseq;
                             int64_t r_limit = rpos - sadj + tlen - im + lseq;
                             int64_t x0 = lo < 0 ? 0 : lo;
-                            for (int64_t x = x0; x < hi && !e.err; x++) {
+                            for (int64_t x = x0; x < hi && !e->err; x++) {
                                 if (x < f_limit) {
                                     int full = (eadj < sc_min) || (x == lo);
                                     DEP(E_DEL_F, x, (double)tlen,
@@ -841,7 +901,7 @@ GN_API int gn_deposits_run(
                             RD_SPAN(lo, hi);
                             int64_t x0 = lo < 0 ? 0 : lo;
                             int64_t x1 = hi > L ? L : hi;
-                            for (int64_t x = x0; x < x1 && !e.err; x++) {
+                            for (int64_t x = x0; x < x1 && !e->err; x++) {
                                 int full = (eadj < sc_min) || (x == lo);
                                 DEP(E_INV_F1, x, (double)tlen,
                                     full ? add : add / 2,
@@ -858,7 +918,7 @@ GN_API int gn_deposits_run(
                             double tb = mrev ? inv_tol : tol_base;
                             int64_t x0 = lo < 0 ? 0 : lo;
                             int64_t x1 = hi > L ? L : hi;
-                            for (int64_t x = x0; x < x1 && !e.err; x++) {
+                            for (int64_t x = x0; x < x1 && !e->err; x++) {
                                 int full = (sadj < sc_min) || (x == hi - 1);
                                 DEP(etype, x, (double)tlen,
                                     full ? add : add / 2,
@@ -892,14 +952,14 @@ GN_API int gn_deposits_run(
                                 int64_t lo_r = rpos < aux_pos ? rpos : aux_pos;
                                 RD_POINT(dlp_e);
                                 if (dlp_e >= 0 && dlp_e < L) {
-                                    pstate *ps = get_ps(&e, dlp_e);
+                                    pstate *ps = get_ps(e, dlp_e);
                                     int first_set = ps &&
                                         (!(ps->touched & (1u << E_DUP_F)) ||
                                          ps->p_count[E_DUP_F] == 0);
                                     DEP(E_DUP_F, dlp_e, dist, add, addf, hi_r,
                                         RM_MINMAX, -1, tol_base);
-                                    if (first_set && !e.err) {
-                                        pstate *ps2 = get_ps(&e, dlp_e);
+                                    if (first_set && !e->err) {
+                                        pstate *ps2 = get_ps(e, dlp_e);
                                         if (ps2) {
                                             touch_primary(ps2, E_DEL_F);
                                             ps2->p_re[E_DEL_F] = hi_r;
@@ -917,7 +977,7 @@ GN_API int gn_deposits_run(
                             RD_SPAN(lo, hi);
                             int64_t x0 = lo < 0 ? 0 : lo;
                             int64_t x1 = hi > L ? L : hi;
-                            for (int64_t x = x0; x < x1 && !e.err; x++) {
+                            for (int64_t x = x0; x < x1 && !e->err; x++) {
                                 int full = (sadj < sc_min) || (x == hi - 1);
                                 DEP(E_DEL_R, x, (double)llabs(tlen),
                                     full ? add : add / 2,
@@ -932,7 +992,7 @@ GN_API int gn_deposits_run(
                             RD_SPAN(lo, hi);
                             int64_t x0 = lo < 0 ? 0 : lo;
                             int64_t x1 = hi > L ? L : hi;
-                            for (int64_t x = x0; x < x1 && !e.err; x++) {
+                            for (int64_t x = x0; x < x1 && !e->err; x++) {
                                 int full = (eadj < sc_min) || (x == lo);
                                 DEP(E_INV_F2, x, (double)llabs(tlen),
                                     full ? add : add / 2,
@@ -948,7 +1008,7 @@ GN_API int gn_deposits_run(
                                 RD_SPAN(lo, hi);
                                 int64_t x0 = lo < 0 ? 0 : lo;
                                 int64_t x1 = hi > L ? L : hi;
-                                for (int64_t x = x0; x < x1 && !e.err; x++) {
+                                for (int64_t x = x0; x < x1 && !e->err; x++) {
                                     int full = (eadj < sc_min) || (x == lo);
                                     DEP(E_DUP_F, x, (double)llabs(tlen),
                                         full ? add : add / 2,
@@ -963,7 +1023,7 @@ GN_API int gn_deposits_run(
                                 RD_SPAN(lo, hi);
                                 int64_t x0 = lo < 0 ? 0 : lo;
                                 int64_t x1 = hi > L ? L : hi;
-                                for (int64_t x = x0; x < x1 && !e.err; x++) {
+                                for (int64_t x = x0; x < x1 && !e->err; x++) {
                                     int full = (sadj < sc_min) || (x == hi - 1);
                                     DEP(E_INV_R2, x, (double)llabs(tlen),
                                         full ? add : add / 2,
@@ -982,7 +1042,7 @@ GN_API int gn_deposits_run(
                     double key_mpos = mrev ? (double)(-mpos) : (double)mpos;
                     int64_t x0 = lo < 0 ? 0 : lo;
                     int64_t x1 = hi > L ? L : hi;
-                    for (int64_t x = x0; x < x1 && !e.err; x++) {
+                    for (int64_t x = x0; x < x1 && !e->err; x++) {
                         int full = (eadj < sc_min) || (x == lo);
                         DEP(E_CTX_F, x, key_mpos,
                             full ? add : add / 2,
@@ -996,7 +1056,7 @@ GN_API int gn_deposits_run(
                     double key_mpos = mrev ? (double)(-mpos) : (double)mpos;
                     int64_t x0 = lo < 0 ? 0 : lo;
                     int64_t x1 = hi > L ? L : hi;
-                    for (int64_t x = x0; x < x1 && !e.err; x++) {
+                    for (int64_t x = x0; x < x1 && !e->err; x++) {
                         int full = (sadj < sc_min) || (x == hi - 1);
                         DEP(E_CTX_R, x, key_mpos,
                             full ? add : add / 2,
@@ -1027,17 +1087,27 @@ GN_API int gn_deposits_run(
         }
     }
 
-    if (!e.err)
-        flush_to(&e, e.flushed + e.wmask + 1);
+    return e->err;
+#undef DEP
+#undef RD_SPAN
+#undef RD_POINT
+}
 
-    free(e.ring);
-    free(e.pool);
-    if (e.err) {
-        gn_deposits_free(e.out);
-        return e.err;
+GN_API int gn_deposits_finish(void *h, gn_dep_out **out_p) {
+    engine *e = (engine *)h;
+    if (!e->err)
+        flush_to(e, e->flushed + e->wmask + 1);
+    int err = e->err;
+    int32_t **dense = e->dense;
+    const int64_t L = e->L;
+    gn_dep_out *out = e->out;
+    free(e->ring);
+    free(e->pool);
+    free(e);
+    if (err) {
+        gn_deposits_free(out);
+        return err;
     }
-
-    /* in-place prefix sums for the span-diff dense arrays */
     for (int d = D_RD; d <= D_MR; d++) {
         int32_t *a = dense[d];
         int32_t acc = 0;
@@ -1046,6 +1116,81 @@ GN_API int gn_deposits_run(
             a[p] = acc;
         }
     }
-    *out_p = e.out;
+    *out_p = out;
     return 0;
 }
+
+GN_API int gn_deposits_run(
+    long R,
+    const int64_t *pos, const int32_t *flag, const int32_t *mapq,
+    const int32_t *mchr_a, const int64_t *mpos_a, const int64_t *tlen_a,
+    const int64_t *lseq_a, const int64_t *sadj_a, const int64_t *eadj_a,
+    const int64_t *eadj_i_a, const int32_t *addw, const uint8_t *elig,
+    const uint32_t *cigar, const int64_t *cigar_off,
+    const uint8_t *aux_match_a, const int64_t *aux_pos_a,
+    const uint8_t *aux_strand_a, const int32_t *aux_mapq_a,
+    const int32_t *aux_sadj_a, const int32_t *aux_eadj_a,
+    const int32_t *aux_eadj_i_a,
+    const int64_t *params_i, const double *params_d,
+    int32_t **dense, gn_dep_out **out_p) {
+
+    const int64_t L = params_i[PI_CHROM_LEN];
+    const int64_t im = params_i[PI_IM];
+    const int64_t imin = params_i[PI_IMIN];
+    const int64_t imean = params_i[PI_IMEAN];
+    const int64_t sc_min = params_i[PI_SC_MIN];
+    const int64_t min_mapq = params_i[PI_MIN_MAPQ];
+    const int64_t max_split_loss = params_i[PI_MAX_SPLIT_LOSS];
+    const int64_t min_sr_len = params_i[PI_MIN_SR_LEN];
+    const int64_t read_len = params_i[PI_READ_LEN];
+    const int64_t indel_i_cap = params_i[PI_INDEL_I_CAP];
+    const int splitread = (int)params_i[PI_SPLITREAD];
+    const int32_t refid = (int32_t)params_i[PI_REFID];
+    const double tol_base = params_d[0];
+
+    /* pre-scan: max cigar ref span + max lseq + sorted check */
+    int64_t max_ref_span = 0, max_lseq = 0, prev_pos = -1;
+    for (long i = 0; i < R; i++) {
+        if (!elig[i])
+            continue;
+        if (pos[i] < prev_pos)
+            return 1;
+        prev_pos = pos[i];
+        if (lseq_a[i] > max_lseq)
+            max_lseq = lseq_a[i];
+        int64_t span = 0;
+        for (int64_t c = cigar_off[i]; c < cigar_off[i + 1]; c++) {
+            uint32_t op = cigar[c] & 0xF;
+            if (op == CMATCH || op == CDEL || op == CREF_SKIP ||
+                op == CEQUAL || op == CDIFF)
+                span += cigar[c] >> 4;
+        }
+        if (span > max_ref_span)
+            max_ref_span = span;
+    }
+    int64_t back = im + 2 * max_lseq + 64;
+    int64_t fwd = im + max_lseq + max_ref_span + 64;
+    int64_t W = 1;
+    while (W < back + fwd + 2)
+        W <<= 1;
+
+    (void)L; (void)im; (void)imin; (void)imean; (void)sc_min;
+    (void)min_mapq; (void)max_split_loss; (void)min_sr_len; (void)read_len;
+    (void)indel_i_cap; (void)splitread; (void)refid; (void)tol_base;
+    void *h = gn_deposits_init(params_i, params_d, dense,
+                               max_lseq > 0 ? max_lseq : 1,
+                               max_ref_span > 0 ? max_ref_span : 1);
+    if (!h)
+        return 2;
+    int rc = gn_deposits_feed(h, R, 0, pos, flag, mapq, mchr_a, mpos_a, tlen_a,
+                              lseq_a, sadj_a, eadj_a, eadj_i_a, addw, elig,
+                              cigar, cigar_off, aux_match_a, aux_pos_a,
+                              aux_strand_a, aux_mapq_a, aux_sadj_a,
+                              aux_eadj_a, aux_eadj_i_a);
+    if (rc) {
+        gn_deposits_abort(h);
+        return rc;
+    }
+    return gn_deposits_finish(h, out_p);
+}
+

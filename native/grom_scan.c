@@ -28,7 +28,8 @@ typedef struct {
 } dslot;
 
 enum {
-    SP_L = 0, SP_MIN_MAPQ, SP_MIN_BQ, SP_MAX_SLOTS, SP_NAME_LEN_CAP, N_SP
+    SP_L = 0, SP_MIN_MAPQ, SP_MIN_BQ, SP_MAX_SLOTS, SP_NAME_LEN_CAP,
+    SP_LO, SP_HI, SP_FINALIZE, N_SP
 };
 
 /* returns 0 ok; 1 = caller must fall back (unsorted spans / cap too big) */
@@ -53,6 +54,12 @@ GN_API int gn_snv_accumulate(
     const int64_t min_bq = params[SP_MIN_BQ];
     const int32_t max_slots = (int32_t)params[SP_MAX_SLOTS];
     const int64_t name_len_cap = params[SP_NAME_LEN_CAP];
+    /* position gate [lo, hi) + deferred prefix-sum: the streaming session
+     * feeds overlapping read chunks; each call deposits only the positions
+     * it owns, and the rd-list prefix sums run once on the final call */
+    const int64_t lo = params[SP_LO];
+    const int64_t hi = params[SP_HI] > 0 ? params[SP_HI] : L;
+    const int finalize = (int)params[SP_FINALIZE];
     if (max_slots > MAX_DEDUP_SLOTS)
         return 1;
 
@@ -96,7 +103,7 @@ GN_API int gn_snv_accumulate(
 
         for (int64_t j = 0; j < ln; j++) {
             const int64_t p = ref0 + j;
-            if (p < 0 || p >= L)
+            if (p < 0 || p >= L || p < lo || p >= hi)
                 continue;                     /* gate */
             const int64_t ridx = roff + j;
             const uint8_t b = rseq[ridx];
@@ -155,18 +162,25 @@ GN_API int gn_snv_accumulate(
         /* caf_rd_* depth lists: whole-span rule (src/GROM.c:6605-6664) —
          * deposited only when ref0 >= 0 and ref0 + ln < L (strict) */
         if (ref0 >= 0 && ref0 + ln < L) {
-            rd_mq[ref0] += mq;
-            rd_mq[ref0 + ln] -= mq;
-            if (hi_mq) {
-                rd_hi[ref0] += 1;
-                rd_hi[ref0 + ln] -= 1;
-            } else {
-                rd_lo[ref0] += 1;
-                rd_lo[ref0 + ln] -= 1;
+            int64_t s0 = ref0 < lo ? lo : ref0;
+            int64_t e0 = ref0 + ln > hi ? hi : ref0 + ln;
+            if (e0 > s0) {
+                rd_mq[s0] += mq;
+                rd_mq[e0] -= mq;
+                if (hi_mq) {
+                    rd_hi[s0] += 1;
+                    rd_hi[e0] -= 1;
+                } else {
+                    rd_lo[s0] += 1;
+                    rd_lo[e0] -= 1;
+                }
             }
         }
     }
     free(ring);
+
+    if (!finalize)
+        return 0;
 
     /* prefix sums for the rd lists */
     {
