@@ -576,13 +576,59 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
         skeys = (cls_v[vi].astype(np.int64) * 101 + gcv[vi]) * dspan + d_v
         ukeys, inv = np.unique(skeys, return_inverse=True)
         base = np.empty(len(ukeys))
-        for k, key in enumerate(ukeys):
+        kd = (ukeys % dspan).astype(np.int64)
+        kg = ((ukeys // dspan) % 101).astype(np.int64)
+        kc = (ukeys // (dspan * 101)).astype(np.int64)
+        if cfg.ranks_stdev != 0:
+            # vectorized midrank z per unique (cls, gc, depth) key: the
+            # custom bisects equal np.searchsorted except the one quirk —
+            # n == 2 with result 0 returns 1 (verified exhaustively for
+            # n <= 8 and randomized to n = 300)
+            def _fx(ss, n):
+                return np.where(ss == 0, 1, ss) if n == 2 else ss
+
+            for cls in (0, 1):
+                for g in np.unique(kg[kc == cls]):
+                    midx = np.flatnonzero((kc == cls) & (kg == g))
+                    arr = hi_arr[g] if cls == 0 else lo_arr[g]
+                    n = hi_n[g] if cls == 0 else lo_n[g]
+                    d_u = kd[midx]
+                    out = np.empty(len(midx))
+                    below = d_u < ave[cls, g]
+                    if below.any():
+                        dv = d_u[below]
+                        bi = _fx(np.searchsorted(arr, dv, "right"), n)
+                        bi2 = _fx(np.searchsorted(arr, dv, "left"), n)
+                        di = np.where(bi <= 0, 0.5, bi.astype(np.float64))
+                        di2 = np.where(bi2 <= 0, 0.5, bi2.astype(np.float64))
+                        prob = (di + di2) / (2 * n)
+                        pi = np.clip(np.searchsorted(pv_p, prob, "right"),
+                                     0, pv_len - 1)
+                        out[below] = pv_sd[pi]
+                    hi_side = ~below
+                    if hi_side.any():
+                        dv = d_u[hi_side]
+                        clamp = cfg.dup_threshold_factor * ave[cls, g]
+                        # int truncation of the clamp key (C int parameter,
+                        # src/GROM.c:18867)
+                        key_l = np.where(dv > clamp, np.int64(clamp), dv)
+                        bi = n - _fx(np.searchsorted(arr, key_l, "left"), n)
+                        bi2 = n - _fx(np.searchsorted(arr, dv, "right"), n)
+                        di = np.where(bi <= 0, 0.5, bi.astype(np.float64))
+                        di2 = np.where(bi2 <= 0, 0.5, bi2.astype(np.float64))
+                        prob = (di + di2) / (2 * n)
+                        pi = np.clip(np.searchsorted(pv_p, prob, "right"),
+                                     0, pv_len - 1)
+                        out[hi_side] = -pv_sd[pi]
+                    base[midx] = out
+        else:
+          for k, key in enumerate(ukeys):
             d = int(key % dspan)
             g = int((key // dspan) % 101)
             cls = int(key // (dspan * 101))
             arr = hi_arr[g] if cls == 0 else lo_arr[g]
             n = hi_n[g] if cls == 0 else lo_n[g]
-            if cfg.ranks_stdev == 0:
+            if True:
                 # -K 0: direct (ave-d)/σ with the 2x-mean dup clamp
                 # (src/GROM.c:18838-18858, :18920-18940)
                 sb = std[cls, g]
@@ -593,31 +639,6 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
                                * (-ave[cls, g]) / sb if sb else 0.0)
                 else:
                     base_sd = (ave[cls, g] - d) / sb if sb else 0.0
-            elif d < ave[cls, g]:
-                bi = c_bisect_right(arr, d, 0, n)
-                bi2 = c_bisect_left(arr, d, 0, n)
-                di = 0.5 if bi <= 0 else float(bi)
-                di2 = 0.5 if bi2 <= 0 else float(bi2)
-                prob = (di + di2) / (2 * n)
-                pi = c_bisect_right(pv_p, prob, 0, pv_len)
-                pi = min(max(pi, 0), pv_len - 1)
-                base_sd = pv_sd[pi]
-            else:
-                if d > cfg.dup_threshold_factor * ave[cls, g]:
-                    # the reference passes the double 2*ave into the INT
-                    # bisect_left parameter (src/GROM.c:18867) — C truncates
-                    # toward zero, so the search key is int(2*ave)
-                    bi = c_bisect_left(arr, int(cfg.dup_threshold_factor * ave[cls, g]), 0, n)
-                else:
-                    bi = c_bisect_left(arr, d, 0, n)
-                bi2 = c_bisect_right(arr, d, 0, n)
-                bi, bi2 = n - bi, n - bi2
-                di = 0.5 if bi <= 0 else float(bi)
-                di2 = 0.5 if bi2 <= 0 else float(bi2)
-                prob = (di + di2) / (2 * n)
-                pi = c_bisect_right(pv_p, prob, 0, pv_len)
-                pi = min(max(pi, 0), pv_len - 1)
-                base_sd = -pv_sd[pi]
             base[k] = base_sd
         w = np.where(hi_mq_v[vi],
                      mf + (1.0 - mf) * (mq[sl][vi] - cfg.min_mapq) / 40.0,

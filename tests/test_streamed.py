@@ -37,10 +37,10 @@ def _setup(ds):
     return cfg, drv, mq, hez, chrom, reads, fa
 
 
-@pytest.mark.parametrize("ds,engine", [("ds200k", "host"),
-                                       ("sv400k", "host"),
-                                       ("ds200k", "tpu")])
-def test_streamed_matches_whole(ds, engine):
+@pytest.mark.parametrize("ds,engine,chunk", [("ds200k", "host", 37_000),
+                                             ("sv400k", "host", 37_000),
+                                             ("ds200k", "tpu", 80_000)])
+def test_streamed_matches_whole(ds, engine, chunk):
     cfg, drv, mq, hez, chrom, reads, fa = _setup(ds)
     sel = np.flatnonzero(reads.refid == 0)
     rows_w, ctx_w = call_chromosome(chrom, reads, sel, 0, fa.lower(), cfg,
@@ -57,6 +57,6 @@ def test_streamed_matches_whole(ds, engine):
 
     rows_s, ctx_s = call_chromosome_streamed(
         chrom, 0, fa.lower(), cfg, drv, mq, hez, fetch, engine=engine,
-        chunk_bases=37_000)
+        chunk_bases=chunk)
     assert rows_s == rows_w
     assert ctx_s == ctx_w
