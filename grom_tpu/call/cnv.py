@@ -112,6 +112,7 @@ def _tri_weighted_native(chrom: np.ndarray, m: int, gc_w: np.ndarray,
     lib = get_lib()
     if lib is None or not hasattr(lib, "gn_tri_weighted"):
         return False
+    assert gc_w.dtype == np.int8 and ac_w.dtype == np.int8
     c = np.ascontiguousarray(chrom, np.uint8)
     rc = lib.gn_tri_weighted(
         c.ctypes.data_as(ctypes.c_void_p), ctypes.c_long(len(c)),
@@ -148,12 +149,16 @@ def preprocess_reference(chrom: np.ndarray, insert_mean: int,
             out[lo:hi] = (S[p + m + 1] - S[p + 1]) - (S[p + 1] - S[p - m + 1])
         return out
 
-    gc_w = np.zeros(L, dtype=np.int64)
-    ac_w = np.zeros(L, dtype=np.int64)
+    # int8 per-base tracks: values are 0..100 percentages; at 250Mb the
+    # int64 versions alone would cost 4GB
+    gc_w = np.zeros(L, dtype=np.int8)
+    ac_w = np.zeros(L, dtype=np.int8)
     lo, hi = m - 1, L - W
     if hi > lo and not _tri_weighted_native(chrom, m, gc_w, ac_w):
-        gc_w[lo:hi] = 100 * tri_weighted(is_gc)[lo:hi] // total
-        ac_w[lo:hi] = 100 * tri_weighted(is_acgt)[lo:hi] // total
+        gc_w[lo:hi] = (100 * tri_weighted(is_gc)[lo:hi] // total
+                       ).astype(np.int8)
+        ac_w[lo:hi] = (100 * tri_weighted(is_acgt)[lo:hi] // total
+                       ).astype(np.int8)
 
     # dinucleotide repeat runs (types 0..9) over the same scan range
     r_types: List[int] = []
@@ -206,8 +211,8 @@ def prep_cnv(chrom: np.ndarray, feats: RefFeatures, rd_hi: np.ndarray,
     L = len(chrom)
     m = drv.insert_mean
     W = 2 * m - 1
-    depth = rd_hi.astype(np.int64) + rd_lo.astype(np.int64)
-    mq_mean = rd_mq_sum.astype(np.int64).copy()
+    depth = rd_hi.astype(np.int32) + rd_lo.astype(np.int32)
+    mq_mean = rd_mq_sum.astype(np.int64)
     nz = depth > 0
     mq_mean[nz] = mq_mean[nz] // depth[nz]
 
@@ -418,7 +423,7 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
     L = len(chrom)
     m = drv.insert_mean
     W = 2 * m - 1
-    depth = (rd_hi.astype(np.int64) + rd_lo.astype(np.int64))
+    depth = (rd_hi.astype(np.int32) + rd_lo.astype(np.int32))
     mq = prep.mq_mean
     gc = feats.gc_weighted
     acgt = feats.acgt_weighted
@@ -519,7 +524,7 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
                     std[idx, b] = math.sqrt(((a - ave[idx, b]) ** 2).sum() / (n - 1))
 
     # ---- low_acgt_or_windows mask (src/GROM.c:18683-18750) ----
-    low_acgt = np.ones(L, dtype=np.int64)
+    low_acgt = np.ones(L, dtype=np.int8)
     scan_lo, scan_hi = m - 1, L - W
     if scan_hi > scan_lo:
         pos_r = np.arange(scan_lo, scan_hi)
@@ -887,29 +892,31 @@ def _window_scan(blocks, depth, mq, gc, nwin, low_acgt, stdev_list,
     max_dist = maxw + 500  # g_max_distance_since_last_del_good
     out: List[CnvCall] = []
 
-    idx = np.arange(L, dtype=np.int64)
-    defc = np.where(mq >= cfg.min_mapq, 0,
-                    np.where(depth > 0, 1, -1)).astype(np.int64)
+    # compact dtypes — every full-length temp here is alive at once and a
+    # 250Mb chromosome would pay 2GB per int64 array (positions fit int32,
+    # classes int8)
+    idx = np.arange(L, dtype=np.int32)
+    defc = np.where(mq >= cfg.min_mapq, np.int8(0),
+                    np.where(depth > 0, np.int8(1), np.int8(-1)))
     # index of last position <= p with a definite class (ungated / gated)
-    ld_all = np.where(defc >= 0, idx, np.int64(-1))
+    ld_all = np.where(defc >= 0, idx, np.int32(-1))
     np.maximum.accumulate(ld_all, out=ld_all)
     lowa = low_acgt == 0
-    ld_gated = np.where(lowa & (defc >= 0), idx, np.int64(-1))
+    ld_gated = np.where(lowa & (defc >= 0), idx, np.int32(-1))
     np.maximum.accumulate(ld_gated, out=ld_gated)
     defc_safe = defc[np.maximum(ld_all, 0)]
     defg_safe = defc[np.maximum(ld_gated, 0)]
-    thr0 = thr[0, gc]
-    thr1 = thr[1, gc]
+    del idx
     if side > 0:
-        sok0 = depth <= thr0
-        sok1 = depth <= thr1
+        sok0 = depth <= thr[0, gc]
+        sok1 = depth <= thr[1, gc]
     else:
-        sok0 = depth >= thr0
-        sok1 = depth >= thr1
+        sok0 = depth >= thr[0, gc]
+        sok1 = depth >= thr[1, gc]
     cand = np.where(defc == 0, sok0,
                     np.where(defc == 1, sok1, sok0 | sok1))
     svals = side * stdev_list
-    lowa_i = lowa.astype(np.int64)
+    lowa_i = lowa.astype(np.int8)
 
     def gated_cls(p, start, fallback):
         q = ld_gated[p]

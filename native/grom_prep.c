@@ -16,7 +16,7 @@
 /* out[p] = 100 * T(p) / (m*m) for p in [m-1, L-(2m-1)), else 0.
  * gc counts G/C; acgt counts A/C/G/T (case-insensitive). */
 GN_API int gn_tri_weighted(const uint8_t *chrom, long L, long m,
-                           int64_t *gc_w, int64_t *ac_w) {
+                           int8_t *gc_w, int8_t *ac_w) {
     long W = 2 * m - 1;
     long lo = m - 1, hi = L - W;
     int64_t total = (int64_t) m * m;
@@ -48,14 +48,14 @@ GN_API int gn_tri_weighted(const uint8_t *chrom, long L, long m,
         tg += c1g[k + m] - c1g[k];
         ta += c1a[k + m] - c1a[k];
     }
-    gc_w[lo] = 100 * tg / total;
-    ac_w[lo] = 100 * ta / total;
+    gc_w[lo] = (int8_t)(100 * tg / total);
+    ac_w[lo] = (int8_t)(100 * ta / total);
     for (p = lo + 1; p < hi; p++) {
         /* + W(p) - W(p-m):  W(k) = c1[k+m] - c1[k] */
         tg += (c1g[p + m] - c1g[p]) - (c1g[p] - c1g[p - m]);
         ta += (c1a[p + m] - c1a[p]) - (c1a[p] - c1a[p - m]);
-        gc_w[p] = 100 * tg / total;
-        ac_w[p] = 100 * ta / total;
+        gc_w[p] = (int8_t)(100 * tg / total);
+        ac_w[p] = (int8_t)(100 * ta / total);
     }
     free(c1g);
     free(c1a);
