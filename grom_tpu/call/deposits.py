@@ -16,6 +16,23 @@ Window-relative clamps in the reference never bind for whole-chromosome runs
 (backward reaches are < overlap_mult*insert_max behind the read and the scan
 trails exactly that far — see call/scan.py), so everything is global.
 
+Device-offload analysis (measured on the 4Mb/30x bench dataset, 2-vCPU
+host): the deposit phase is 1.3-1.4s of a 24-40s end-to-end run (~4-6% of
+wall; ~900k reads/s through the native ring engine). The COMMUTATIVE dense
+channels are endpoint-delta + prefix-sum shaped and already run on device
+where it pays: the mesh pipeline computes the caf_rd_* depth lists exactly
+this way with an all_gather'd cross-cell carry (parallel/pipeline.py). The
+ORDER-DEPENDENT typed state (primary running-mean dist with count-scaled
+tolerance matching, first-come other-slot assignment, dominant-swap —
+src/GROM.c:7190-10800) serializes on the arrival order of every deposit at
+a position: a device formulation would accumulate per-(pos, type,
+dist-bucket) partials and still need a host reconciliation pass whose
+sequential work is the same order as the current native replay, while
+shipping the per-read deposit stream to the device costs more transfer
+than the entire phase costs today. By Amdahl the ceiling of a perfect
+device offload is the ~5% the phase occupies, so the typed state stays in
+the native streaming ring engine by design.
+
 Reference bugs reproduced deliberately (parity depends on them):
   * sr_dup's aux split-loss temp uses the primary's end_adj_indel
     (src/GROM.c:7996-7999, :9379-9382);

@@ -112,6 +112,19 @@ def load_or_estimate(bam_path: str, reads: Optional[RawReads],
                 return InsertStats.from_json(f.read())
         except (ValueError, KeyError):
             pass
+    # the reference binary's own cache ("mean lseq min max mapped",
+    # src/GROM.c:994-1026) is honored too, so a GROM user's working
+    # directory drops in unchanged
+    ref_cache = bam_path + ".mean"
+    if use_cache and os.path.exists(ref_cache):
+        try:
+            with open(ref_cache) as f:
+                v = f.read().split()
+            if len(v) == 5:
+                return InsertStats(int(v[0]), int(v[2]), int(v[3]),
+                                   int(v[1]), int(v[4]))
+        except (ValueError, OSError):
+            pass
     if reads is None:
         from grom_tpu.ingest.bam import read_bam
         _, reads = read_bam(bam_path, want_names=False)
