@@ -165,18 +165,22 @@ def preprocess_reference(chrom: np.ndarray, insert_mean: int,
     r_starts: List[int] = []
     r_ends: List[int] = []
     if hi > lo:
-        pair_code = np.full(L, 10, dtype=np.int8)
-        b0 = up[lo:hi]
-        b1 = up[lo + 1:hi + 1]
+        # 256x256 LUT: one gather instead of 20 mask passes over the
+        # chromosome (each pass allocates a fresh L-byte temp — the
+        # allocation tax dominates on sandboxed kernels)
+        lut = np.full((256, 256), 10, dtype=np.int8)
         for t, pair in enumerate(_REPEAT_PAIRS):
             a, b = pair[0], pair[1]
-            m_ = ((b0 == a) & (b1 == b)) | ((b0 == b) & (b1 == a))
-            pair_code[lo:hi][m_] = t
+            lut[a, b] = t
+            lut[b, a] = t
+        b0 = up[lo:hi]
+        b1 = up[lo + 1:hi + 1]
+        pair_code = lut[b0, b1]
         # runs of identical type (<10), recorded when length-1 >= min_repeat-1.
         # Vectorized RLE of the per-base state machine; a run reaching the
         # last scanned position never closes and is dropped, like the
         # sequential scan (src/GROM.c:1727-1764).
-        pc = pair_code[lo:hi]
+        pc = pair_code   # already the [lo:hi) range
         n = hi - lo
         if n > 1:
             change = np.flatnonzero(np.diff(pc.astype(np.int16)) != 0) + 1
@@ -374,7 +378,19 @@ def _broken_double_sort(vals: np.ndarray) -> np.ndarray:
     comparator."""
     v = vals.astype(np.float64)
     raw = v.view(np.uint8).reshape(-1, 8)
-    key = raw[:, :4].copy().view(np.int32).ravel().astype(np.int64)
+    key32 = raw[:, :4].copy().view(np.int32).ravel()
+    key = key32.astype(np.int64)
+
+    # native emulation of the same merge (differential-tested below)
+    from grom_tpu.native import get_lib
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "gn_broken_sort") and len(v) > 1:
+        import ctypes
+        idx_out = np.empty(len(v), np.int64)
+        lib.gn_broken_sort(key32.ctypes.data_as(ctypes.c_void_p),
+                           ctypes.c_long(len(v)),
+                           idx_out.ctypes.data_as(ctypes.c_void_p))
+        return v[idx_out]
 
     def cmp_lt(i, j):
         # cmp(b2,b1) < 0  with int32 wraparound subtraction

@@ -156,15 +156,16 @@ def _accumulate_native(arr: ChromArrays, chrom, batch, eligible, cfg,
     if lib is None or not hasattr(lib, "gn_snv_accumulate"):
         return False
     reads = batch.reads
-    names = reads.names
     R = len(batch.pos)
-    if not names or len(names) != R:
-        return False
-    if reads.name_id is not None and reads.name_len is not None:
+    if reads.name_id is not None and reads.name_len is not None \
+            and len(reads.name_id) == R:
         name_id = reads.name_id
         name_len = reads.name_len
     else:
-        narr = np.asarray(names)
+        names = reads.names
+        if not names or len(names) != R:
+            return False
+        narr = np.asarray(list(names))
         _, name_id = np.unique(narr, return_inverse=True)
         name_id = name_id.astype(np.int32)
         name_len = np.char.str_len(narr).clip(0, 255).astype(np.uint8)

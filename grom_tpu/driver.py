@@ -64,9 +64,12 @@ _LINK_FAST: Optional[bool] = None
 
 
 def _device_link_fast(min_mb_s: float = 100.0) -> bool:
-    """One-shot host→device bandwidth probe (16 MB device_put). A locally
-    attached TPU moves GB/s; a tunneled chip moves ~MB/s, below the
-    crossover where shipping per-base tensors beats the host engines."""
+    """One-shot host→device bandwidth probe. A locally attached TPU moves
+    GB/s; a tunneled chip moves ~MB/s, below the crossover where shipping
+    per-base tensors beats the host engines. Staged so a slow link is
+    detected from a 1 MB transfer (a 16 MB probe through a MB/s tunnel
+    would itself cost ~10s of startup); only a plausibly-fast link pays
+    the larger confirmation transfer."""
     global _LINK_FAST
     if _LINK_FAST is None:
         try:
@@ -76,12 +79,31 @@ def _device_link_fast(min_mb_s: float = 100.0) -> bool:
             buf = np.zeros(16 << 20, np.uint8)
             jax.device_put(buf[:1024]).block_until_ready()   # wake the path
             t0 = time.perf_counter()
-            jax.device_put(buf).block_until_ready()
+            jax.device_put(buf[:1 << 20]).block_until_ready()
             dt = time.perf_counter() - t0
-            _LINK_FAST = (16.0 / max(dt, 1e-9)) >= min_mb_s
+            if (1.0 / max(dt, 1e-9)) < min_mb_s / 2:
+                _LINK_FAST = False    # hopeless even with latency forgiven
+            else:
+                t0 = time.perf_counter()
+                jax.device_put(buf).block_until_ready()
+                dt = time.perf_counter() - t0
+                _LINK_FAST = (16.0 / max(dt, 1e-9)) >= min_mb_s
         except Exception:
             _LINK_FAST = False
     return _LINK_FAST
+
+
+def _start_prefault(bam_path: str) -> None:
+    """Warm heap pages ahead of the compute phases on expensive-fault
+    kernels (see utils/prefault.py); no-op elsewhere."""
+    try:
+        size = os.path.getsize(bam_path)
+    except OSError:
+        size = 0
+    cap = int(os.environ.get("GROM_TPU_PREFAULT_MAX", str(3 << 30)))
+    target = min(cap, max(768 << 20, 5 * size))
+    from grom_tpu.utils import prefault
+    prefault.maybe_start(target)
 
 
 def run(cfg: GromConfig, file_date: Optional[str] = None,
@@ -93,6 +115,7 @@ def run(cfg: GromConfig, file_date: Optional[str] = None,
     (regional fetches), so peak memory is one chromosome's reads — the
     streaming analogue of the reference's per-chromosome bam_fetch
     (src/GROM.c:20826+). Without an index the whole BAM is decoded once."""
+    _start_prefault(cfg.bam)
     if cfg.one_chromosome:
         return run_child_region(cfg)
     from grom_tpu.utils.timing import phase, report
@@ -511,10 +534,31 @@ def call_chromosome_streamed(chrom: np.ndarray, refid: int, out_name: str,
             cand_parts.append(dev)
         return True
 
-    for t0 in range(0, L, C):
-        t1 = min(t0 + C, L)
-        with phase("ingest.read_bam"):
-            creads = fetch(t0, t1)
+    # chunk-level I/O–compute overlap: a daemon thread fetches chunk N+1
+    # while chunk N computes (the reference's producer/consumer ring,
+    # src/GROM.c:82-324, at chunk granularity)
+    import queue
+    import threading
+    chunk_q: "queue.Queue" = queue.Queue(maxsize=1)
+    ranges = [(t0, min(t0 + C, L)) for t0 in range(0, L, C)]
+
+    def chunk_producer():
+        try:
+            for (f0, f1) in ranges:
+                with phase("ingest.read_bam"):
+                    chunk_q.put((f0, f1, fetch(f0, f1)))
+        except BaseException as exc:
+            chunk_q.put(exc)
+
+    prod = threading.Thread(target=chunk_producer, name="grom-chunk-ingest",
+                            daemon=True)
+    prod.start()
+
+    for _ in ranges:
+        item = chunk_q.get()
+        if isinstance(item, BaseException):
+            raise item
+        t0, t1, creads = item
         n = len(creads.pos)
         with phase("batch.build"):
             batch_all = (build_batch(creads, refid, cfg.min_mapq,
@@ -528,9 +572,13 @@ def call_chromosome_streamed(chrom: np.ndarray, refid: int, out_name: str,
             if n > i0:
                 last_pos = max(last_pos, int(creads.pos[-1]))
             with phase("batch.build"):
-                dep_batch = (build_batch(_subset_reads(creads, own), refid,
-                                         cfg.min_mapq, cfg.add_factor,
-                                         cfg.rmdup) if len(own) else None)
+                if i0 == 0:
+                    dep_batch = batch_all   # chunk owns every fetched read
+                else:
+                    dep_batch = (build_batch(_subset_reads(creads, own),
+                                             refid, cfg.min_mapq,
+                                             cfg.add_factor, cfg.rmdup)
+                                 if len(own) else None)
             with phase("scan.deposits"):
                 if dep_batch is not None and not dep.feed(dep_batch):
                     return None

@@ -64,6 +64,53 @@ class BamHeader:
         return b"".join(out)
 
 
+class LazyNames:
+    """Read-name list backed by the decoder's flat (buf, off) arrays.
+
+    Materializing 10M+ bytes objects per chromosome costs seconds; the
+    native scan only needs the interned ``name_id``/``name_len`` arrays, so
+    names are sliced out of the flat buffer on demand. Supports the list
+    operations the pipeline uses: ``len``, truthiness, integer indexing
+    (-> bytes, NUL stripped) and slice indexing (-> LazyNames view)."""
+
+    __slots__ = ("buf", "off")
+
+    def __init__(self, buf: np.ndarray, off: np.ndarray):
+        self.buf = buf      # uint8 flat, each name NUL-terminated
+        self.off = off      # int64 [R+1]
+
+    def __len__(self) -> int:
+        return len(self.off) - 1
+
+    def __bool__(self) -> bool:
+        return len(self.off) > 1
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            start, stop, step = i.indices(len(self))
+            if step != 1:
+                return [self[j] for j in range(start, stop, step)]
+            o = self.off[start:stop + 1]
+            return LazyNames(self.buf, o)
+        o0, o1 = int(self.off[i]), int(self.off[i + 1])
+        return self.buf[o0:o1 - 1].tobytes()
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def tolist(self) -> List[bytes]:
+        return list(self)
+
+    def __eq__(self, other) -> bool:
+        try:
+            if len(other) != len(self):
+                return False
+            return all(a == b for a, b in zip(self, other))
+        except TypeError:
+            return NotImplemented
+
+
 @dataclass
 class RawReads:
     """Struct-of-arrays of decoded BAM records (one BAM fetch worth)."""
@@ -137,11 +184,12 @@ def _parse_aux_sa(aux: memoryview) -> Optional[bytes]:
     return xp if xp is not None else sa
 
 
-def decode_header(data: bytes) -> Tuple[BamHeader, int]:
-    if data[:4] != BAM_MAGIC:
+def decode_header(data) -> Tuple[BamHeader, int]:
+    """``data``: bytes or uint8 ndarray (buffer-protocol agnostic)."""
+    if bytes(memoryview(data)[:4]) != BAM_MAGIC:
         raise ValueError("not a BAM file")
     l_text = struct.unpack_from("<i", data, 4)[0]
-    text = data[8:8 + l_text].decode(errors="replace")
+    text = bytes(memoryview(data)[8:8 + l_text]).decode(errors="replace")
     off = 8 + l_text
     n_ref = struct.unpack_from("<i", data, off)[0]
     off += 4
@@ -150,63 +198,137 @@ def decode_header(data: bytes) -> Tuple[BamHeader, int]:
     for _ in range(n_ref):
         l_name = struct.unpack_from("<i", data, off)[0]
         off += 4
-        names.append(data[off:off + l_name - 1].decode())
+        names.append(bytes(memoryview(data)[off:off + l_name - 1]).decode())
         off += l_name
         lengths.append(struct.unpack_from("<i", data, off)[0])
         off += 4
     return BamHeader(text, names, lengths), off
 
 
-def _decode_records_native(data: bytes, start: int, end: int,
+def _decode_records_native(data, start: int, end: int,
                            want_names: bool, want_sa: bool
                            ) -> Optional[RawReads]:
     """Native two-pass record decode (native/grom_native.c); returns None
-    when the native library is unavailable."""
+    when the native library is unavailable. ``data`` may be bytes or a
+    uint8 ndarray (zero-copy path from the pooled BGZF inflater)."""
     from grom_tpu.native import get_lib
     lib = get_lib()
     if lib is None:
         return None
     import ctypes
-    totals = np.zeros(4, np.int64)
-    R = lib.gn_bam_count(data, start, end,
-                         totals.ctypes.data_as(ctypes.c_void_p),
-                         1 if want_sa else 0)
-    if R < 0:
-        return None
-    R = int(R)
-    tc, ts, tn, tsa = (int(x) for x in totals)
-    refid = np.empty(R, np.int32)
-    pos = np.empty(R, np.int32)
-    mapq = np.empty(R, np.uint8)
-    flag = np.empty(R, np.uint16)
-    mrefid = np.empty(R, np.int32)
-    mpos = np.empty(R, np.int32)
-    tlen = np.empty(R, np.int32)
-    lseq = np.empty(R, np.int32)
-    cigar = np.empty(tc, np.uint32)
-    cigar_off = np.empty(R + 1, np.int64)
-    seq = np.empty(ts, np.uint8)
-    qual = np.empty(ts, np.uint8)
-    seq_off = np.empty(R + 1, np.int64)
-    names_buf = np.empty(tn if want_names else 0, np.uint8)
-    name_off = np.empty(R + 1, np.int64)
-    sa_buf = np.empty(tsa, np.uint8)
-    sa_off = np.empty(R + 1, np.int64)
-    sa_len = np.empty(R, np.int32)
+    if isinstance(data, np.ndarray):
+        data = data.ctypes.data_as(ctypes.c_void_p)
     v = ctypes.c_void_p
-    arrs = [refid, pos, mapq, flag, mrefid, mpos, tlen, lseq, cigar,
-            cigar_off, seq, qual, seq_off, names_buf, name_off]
-    r2 = lib.gn_bam_fill(data, start, end,
-                         *[a.ctypes.data_as(v) for a in arrs],
-                         sa_buf.ctypes.data_as(v), sa_off.ctypes.data_as(v),
-                         sa_len.ctypes.data_as(v),
-                         1 if want_names else 0, 1 if want_sa else 0)
-    if int(r2) != R:
-        return None
+    if hasattr(lib, "gn_bam_offsets"):
+        # one offsets walk + a THREADED payload fill: the first-touch page
+        # faults of the seq/qual outputs dominate decode on this kernel
+        # (~5s/GiB of sys time) and parallelize across fill workers
+        cap = max((end - start) // 40, 64)
+        while True:
+            rec_off = np.empty(cap + 1, np.int64)
+            nc_a = np.empty(cap, np.int32)
+            ls_a = np.empty(cap, np.int32)
+            lrn_a = np.empty(cap, np.uint8)
+            sa_len = np.empty(cap, np.int32)
+            R = lib.gn_bam_offsets(data, start, end,
+                                   rec_off.ctypes.data_as(v),
+                                   nc_a.ctypes.data_as(v),
+                                   ls_a.ctypes.data_as(v),
+                                   lrn_a.ctypes.data_as(v),
+                                   sa_len.ctypes.data_as(v),
+                                   1 if want_sa else 0, cap)
+            if R == -2:
+                cap *= 2
+                continue
+            if R < 0:
+                return None
+            break
+        R = int(R)
+        rec_off = rec_off[:R + 1]
+        nc_a, ls_a, lrn_a, sa_len = (nc_a[:R], ls_a[:R], lrn_a[:R],
+                                     sa_len[:R])
+        cigar_off = np.zeros(R + 1, np.int64)
+        np.cumsum(nc_a, out=cigar_off[1:])
+        seq_off = np.zeros(R + 1, np.int64)
+        np.cumsum(ls_a, out=seq_off[1:])
+        name_off = np.zeros(R + 1, np.int64)
+        if want_names:
+            np.cumsum(lrn_a, out=name_off[1:], dtype=np.int64)
+        sa_off = np.zeros(R + 1, np.int64)
+        np.cumsum(np.maximum(sa_len, 0), out=sa_off[1:], dtype=np.int64)
+        tc, ts = int(cigar_off[-1]), int(seq_off[-1])
+        tn, tsa = int(name_off[-1]), int(sa_off[-1])
+        lseq = ls_a
+        refid = np.empty(R, np.int32)
+        pos = np.empty(R, np.int32)
+        mapq = np.empty(R, np.uint8)
+        flag = np.empty(R, np.uint16)
+        mrefid = np.empty(R, np.int32)
+        mpos = np.empty(R, np.int32)
+        tlen = np.empty(R, np.int32)
+        lseq_o = np.empty(R, np.int32)
+        cigar = np.empty(tc, np.uint32)
+        seq = np.empty(ts, np.uint8)
+        qual = np.empty(ts, np.uint8)
+        names_buf = np.empty(tn if want_names else 0, np.uint8)
+        sa_buf = np.empty(tsa, np.uint8)
+        nthreads = min(os.cpu_count() or 1, 8)
+        lib.gn_bam_fill_mt(
+            data, rec_off.ctypes.data_as(v), ctypes.c_long(R),
+            cigar_off.ctypes.data_as(v), seq_off.ctypes.data_as(v),
+            name_off.ctypes.data_as(v), sa_off.ctypes.data_as(v),
+            sa_len.ctypes.data_as(v),
+            refid.ctypes.data_as(v), pos.ctypes.data_as(v),
+            mapq.ctypes.data_as(v), flag.ctypes.data_as(v),
+            mrefid.ctypes.data_as(v), mpos.ctypes.data_as(v),
+            tlen.ctypes.data_as(v), lseq_o.ctypes.data_as(v),
+            cigar.ctypes.data_as(v), seq.ctypes.data_as(v),
+            qual.ctypes.data_as(v), names_buf.ctypes.data_as(v),
+            sa_buf.ctypes.data_as(v),
+            1 if want_names else 0, 1 if want_sa else 0, nthreads)
+        lseq = lseq_o
+    else:
+        totals = np.zeros(4, np.int64)
+        R = lib.gn_bam_count(data, start, end,
+                             totals.ctypes.data_as(ctypes.c_void_p),
+                             1 if want_sa else 0)
+        if R < 0:
+            return None
+        R = int(R)
+        tc, ts, tn, tsa = (int(x) for x in totals)
+        refid = np.empty(R, np.int32)
+        pos = np.empty(R, np.int32)
+        mapq = np.empty(R, np.uint8)
+        flag = np.empty(R, np.uint16)
+        mrefid = np.empty(R, np.int32)
+        mpos = np.empty(R, np.int32)
+        tlen = np.empty(R, np.int32)
+        lseq = np.empty(R, np.int32)
+        cigar = np.empty(tc, np.uint32)
+        cigar_off = np.empty(R + 1, np.int64)
+        seq = np.empty(ts, np.uint8)
+        qual = np.empty(ts, np.uint8)
+        seq_off = np.empty(R + 1, np.int64)
+        names_buf = np.empty(tn if want_names else 0, np.uint8)
+        name_off = np.empty(R + 1, np.int64)
+        sa_buf = np.empty(tsa, np.uint8)
+        sa_off = np.empty(R + 1, np.int64)
+        sa_len = np.empty(R, np.int32)
+        arrs = [refid, pos, mapq, flag, mrefid, mpos, tlen, lseq, cigar,
+                cigar_off, seq, qual, seq_off, names_buf, name_off]
+        r2 = lib.gn_bam_fill(data, start, end,
+                             *[a.ctypes.data_as(v) for a in arrs],
+                             sa_buf.ctypes.data_as(v),
+                             sa_off.ctypes.data_as(v),
+                             sa_len.ctypes.data_as(v),
+                             1 if want_names else 0, 1 if want_sa else 0)
+        if int(r2) != R:
+            return None
     name_id = name_len_a = None
     if want_names and R:
-        # each name is NUL-terminated in the flat buffer
-        names = names_buf.tobytes()[:-1].split(b"\x00") if tn else [b""] * R
+        # names stay in the flat buffer (LazyNames); materializing R bytes
+        # objects per decode costs seconds on WGS-scale inputs
+        names = LazyNames(names_buf, name_off) if tn else [b""] * R
         if tn and hasattr(lib, "gn_intern_names"):
             name_id = np.empty(R, np.int32)
             name_len_a = np.empty(R, np.uint8)
@@ -225,7 +347,7 @@ def _decode_records_native(data: bytes, start: int, end: int,
         for i in np.flatnonzero(sa_len >= 0):
             sa_tags[i] = sab[sa_off[i]:sa_off[i + 1]]
     return RawReads(refid, pos, mapq, flag, mrefid, mpos, tlen, lseq,
-                    cigar, cigar_off, seq, qual, seq_off, list(names), sa_tags,
+                    cigar, cigar_off, seq, qual, seq_off, names, sa_tags,
                     name_id=name_id, name_len=name_len_a)
 
 
@@ -319,9 +441,14 @@ def decode_records(data: bytes, start: int, end: Optional[int] = None,
 
 def read_bam(path: str, want_names: bool = True) -> Tuple[BamHeader, RawReads]:
     """Decode an entire BAM file (all references)."""
-    data, _ = bgzf.read_bgzf(path)
-    header, off = decode_header(data)
-    return header, decode_records(data, off, want_names=want_names)
+    data, _ = bgzf.read_bgzf(path, as_array=True)
+    try:
+        header, off = decode_header(data)
+        return header, decode_records(data, off, want_names=want_names)
+    finally:
+        if isinstance(data, np.ndarray):
+            from grom_tpu.utils.bufpool import POOL
+            POOL.release(data)
 
 
 def alignment_ends(reads: RawReads) -> np.ndarray:
@@ -371,15 +498,45 @@ def concat_raw(parts: List[RawReads]) -> RawReads:
             base += int(o[-1])
         return np.concatenate(offs)
 
-    names: List[bytes] = []
     sa: List[Optional[bytes]] = []
     for p in parts:
-        names.extend(p.names)
         sa.extend(p.sa_tags)
+
+    # names: keep the flat-buffer form and re-intern GLOBALLY (per-part
+    # name_id spaces are local; the SNV dedup needs one id space)
+    names = []
+    name_id = name_len = None
+    if all(isinstance(p.names, LazyNames) for p in parts):
+        nbuf = np.concatenate([p.names.buf for p in parts])
+        offs = [parts[0].names.off]
+        base = int(offs[0][-1])
+        for p in parts[1:]:
+            offs.append(p.names.off[1:] + base)
+            base += int(p.names.off[-1])
+        noff = np.concatenate(offs)
+        names = LazyNames(nbuf, noff)
+        from grom_tpu.native import get_lib
+        lib = get_lib()
+        if lib is not None and hasattr(lib, "gn_intern_names"):
+            import ctypes
+            R = len(names)
+            v = ctypes.c_void_p
+            name_id = np.empty(R, np.int32)
+            name_len = np.empty(R, np.uint8)
+            nu = lib.gn_intern_names(nbuf.ctypes.data_as(v),
+                                     noff.ctypes.data_as(v), ctypes.c_long(R),
+                                     name_id.ctypes.data_as(v),
+                                     name_len.ctypes.data_as(v))
+            if nu < 0:
+                name_id = name_len = None
+    else:
+        for p in parts:
+            names.extend(p.names)
     return RawReads(cat("refid"), cat("pos"), cat("mapq"), cat("flag"),
                     cat("mrefid"), cat("mpos"), cat("tlen"), cat("lseq"),
                     cat("cigar"), cat_off("cigar_off"), cat("seq"),
-                    cat("qual"), cat_off("seq_off"), names, sa)
+                    cat("qual"), cat_off("seq_off"), names, sa,
+                    name_id=name_id, name_len=name_len)
 
 
 def find_bai(path: str) -> Optional[str]:
@@ -390,22 +547,19 @@ def find_bai(path: str) -> Optional[str]:
     return None
 
 
-def read_bam_region(path: str, refid: int, beg: int = 0,
-                    end: Optional[int] = None, want_names: bool = True
-                    ) -> Tuple[BamHeader, RawReads]:
-    """Decode only the records overlapping [beg, end) of one reference,
-    using the BAI index for fetch planning — the equivalent of the
-    reference's per-chromosome ``bam_fetch`` (src/GROM.c:981-992). Falls
-    back to a full-file read (filtered) when no index is present."""
-    from grom_tpu.ingest.bai import read_bai, region_chunks
+# (path, mtime, size) -> (BgzfRandomReader, BamHeader, bai refs) — the
+# streaming driver fetches regions of the same BAM once per chromosome;
+# re-reading + re-scanning the compressed source each call costs ~1s per
+# fetch on WGS-scale files. One entry: pipelines work one BAM at a time.
+_READER_CACHE: Dict[Tuple[str, float, int], tuple] = {}
 
-    bai_path = find_bai(path)
-    if bai_path is None:
-        header, reads = read_bam(path, want_names=want_names)
-        sel = np.flatnonzero(reads.refid == refid)
-        from grom_tpu.driver import _subset_reads
-        return header, _subset_reads(reads, sel)
 
+def _cached_reader(path: str, bai_path: str):
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime, st.st_size)
+    hit = _READER_CACHE.get(key)
+    if hit is not None:
+        return hit
     rdr = bgzf.BgzfRandomReader(path)
     # header: inflate leading blocks until it parses completely
     nb = 1
@@ -418,15 +572,43 @@ def read_bam_region(path: str, refid: int, beg: int = 0,
             if nb >= rdr.n_blocks:
                 raise
             nb *= 2
+    from grom_tpu.ingest.bai import read_bai
     refs = read_bai(bai_path)
+    _READER_CACHE.clear()
+    _READER_CACHE[key] = (rdr, header, refs)
+    return rdr, header, refs
+
+
+def read_bam_region(path: str, refid: int, beg: int = 0,
+                    end: Optional[int] = None, want_names: bool = True
+                    ) -> Tuple[BamHeader, RawReads]:
+    """Decode only the records overlapping [beg, end) of one reference,
+    using the BAI index for fetch planning — the equivalent of the
+    reference's per-chromosome ``bam_fetch`` (src/GROM.c:981-992). Falls
+    back to a full-file read (filtered) when no index is present."""
+    from grom_tpu.ingest.bai import region_chunks
+
+    bai_path = find_bai(path)
+    if bai_path is None:
+        header, reads = read_bam(path, want_names=want_names)
+        sel = np.flatnonzero(reads.refid == refid)
+        from grom_tpu.driver import _subset_reads
+        return header, _subset_reads(reads, sel)
+
+    rdr, header, refs = _cached_reader(path, bai_path)
     if end is None:
         end = header.ref_lengths[refid] if refid < header.n_ref else 1 << 29
     chunks = region_chunks(refs, refid, beg, max(end, beg + 1))
     parts: List[RawReads] = []
     for vs, ve in chunks:
-        flat, s_off, e_off = rdr.span(vs, ve)
-        parts.append(decode_records(flat, s_off, e_off,
-                                    want_names=want_names))
+        flat, s_off, e_off = rdr.span(vs, ve, as_array=True)
+        try:
+            parts.append(decode_records(flat, s_off, e_off,
+                                        want_names=want_names))
+        finally:
+            if isinstance(flat, np.ndarray):
+                from grom_tpu.utils.bufpool import POOL
+                POOL.release(flat)
     reads = concat_raw(parts)
     keep = np.flatnonzero(reads.refid == refid)
     if len(keep) != len(reads):

@@ -272,16 +272,18 @@ class BgzfRandomReader:
                        if self._usize[b] else b"")
         return b"".join(out)
 
-    def span(self, vstart: int, vend: int) -> Tuple[bytes, int, int]:
+    def span(self, vstart: int, vend: int,
+             as_array: bool = False) -> Tuple[bytes, int, int]:
         """Inflate the block range covering virtual offsets [vstart, vend)
-        and return (flat, start_off, end_off) within the flat bytes."""
+        and return (flat, start_off, end_off) within the flat bytes (a
+        pooled uint8 ndarray with ``as_array=True`` — caller releases)."""
         b0 = self._block_at(vstart >> 16)
         b1 = self._block_at(vend >> 16)
         if (vend & 0xFFFF) > 0 or b1 < b0:
             hi = b1 + 1
         else:
             hi = max(b1, b0 + 1)
-        flat = self.inflate_blocks(b0, hi)
+        flat = self.inflate_blocks(b0, hi, as_array=as_array)
         s_off = vstart & 0xFFFF
         e_off = int(self._uoff[b1] - self._uoff[b0]) + (vend & 0xFFFF)
         e_off = min(e_off, len(flat))

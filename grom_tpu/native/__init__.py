@@ -77,6 +77,11 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.gn_bam_count.argtypes = [P, L, L, P, I]
     lib.gn_bam_fill.restype = L
     lib.gn_bam_fill.argtypes = [P, L, L] + [P] * 18 + [I, I]
+    if hasattr(lib, "gn_bam_offsets"):
+        lib.gn_bam_offsets.restype = L
+        lib.gn_bam_offsets.argtypes = [P, L, L, P, P, P, P, P, I, L]
+        lib.gn_bam_fill_mt.restype = I
+        lib.gn_bam_fill_mt.argtypes = [P, P, L] + [P] * 18 + [I, I, I]
     lib.gn_deposits_run.restype = I
     lib.gn_deposits_run.argtypes = [L] + [P] * 21 + \
         [P, P, P, ctypes.POINTER(ctypes.POINTER(DepOut))]
@@ -99,6 +104,9 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.gn_intern_names.argtypes = [P, P, L, P, P]
     lib.gn_tri_weighted.restype = I
     lib.gn_tri_weighted.argtypes = [P, L, L, P, P]
+    if hasattr(lib, "gn_broken_sort"):
+        lib.gn_broken_sort.restype = None
+        lib.gn_broken_sort.argtypes = [P, L, P]
     return lib
 
 

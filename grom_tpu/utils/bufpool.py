@@ -20,6 +20,7 @@ recycles, which degrades to ordinary allocation semantics.
 
 from __future__ import annotations
 
+import threading
 from typing import List
 
 import numpy as np
@@ -29,22 +30,25 @@ class BufferPool:
     def __init__(self) -> None:
         self._free: List[np.ndarray] = []   # 1-D uint8 raw buffers
         self._used: List[np.ndarray] = []
+        self._lock = threading.Lock()       # ingest producer + compute thread
 
     # -- internals ---------------------------------------------------------
     def _take_raw(self, nbytes: int) -> np.ndarray:
-        best_i = -1
-        best_cap = -1
-        for i, b in enumerate(self._free):
-            cap = b.nbytes
-            if cap >= nbytes and (best_cap < 0 or cap < best_cap):
-                best_i, best_cap = i, cap
-        # reuse only when the fit isn't grossly wasteful
-        if best_i >= 0 and best_cap <= max(2 * nbytes, nbytes + (32 << 20)):
-            raw = self._free.pop(best_i)
-        else:
-            raw = np.empty(max(int(nbytes), 1 << 12), np.uint8)
-        self._used.append(raw)
-        return raw
+        with self._lock:
+            best_i = -1
+            best_cap = -1
+            for i, b in enumerate(self._free):
+                cap = b.nbytes
+                if cap >= nbytes and (best_cap < 0 or cap < best_cap):
+                    best_i, best_cap = i, cap
+            # reuse only when the fit isn't grossly wasteful
+            if best_i >= 0 and best_cap <= max(2 * nbytes,
+                                               nbytes + (32 << 20)):
+                raw = self._free.pop(best_i)
+            else:
+                raw = np.empty(max(int(nbytes), 1 << 12), np.uint8)
+            self._used.append(raw)
+            return raw
 
     # -- public ------------------------------------------------------------
     def empty(self, shape, dtype) -> np.ndarray:
@@ -67,19 +71,22 @@ class BufferPool:
         base = a
         while base.base is not None:
             base = base.base
-        for i, u in enumerate(self._used):
-            if u is base:
-                self._free.append(self._used.pop(i))
-                return
+        with self._lock:
+            for i, u in enumerate(self._used):
+                if u is base:
+                    self._free.append(self._used.pop(i))
+                    return
 
     def recycle(self) -> None:
         """All handed-out buffers become free. Caller guarantees no live
         views of pooled memory remain reachable."""
-        self._free.extend(self._used)
-        self._used.clear()
+        with self._lock:
+            self._free.extend(self._used)
+            self._used.clear()
 
     def trim(self) -> None:
-        self._free.clear()
+        with self._lock:
+            self._free.clear()
 
 
 POOL = BufferPool()

@@ -10,6 +10,7 @@
 
 #include <pthread.h>
 #include <stdint.h>
+#include <stdlib.h>
 #include <string.h>
 #include <zlib.h>
 
@@ -277,6 +278,204 @@ GN_API long gn_bam_count(const uint8_t *data, long start, long end,
     totals[2] = tn;
     totals[3] = tsa;
     return R;
+}
+
+/* ------------------------------------------------------------------ */
+/* Broken-comparator merge sort (CNV copy-number ratios)              */
+/* ------------------------------------------------------------------ */
+
+/* The reference qsorts double arrays with an INT comparator
+ * (src/GROM.c:20164 + :1105): it reads the low 32 bits of each double and
+ * subtracts with int32 wraparound — non-transitive, so the output
+ * permutation is whatever glibc's top-down merge produces. This emulates
+ * that exact merge (same split n1 = n/2, same tie rule) over index arrays.
+ * key[i] = low 32 bits of the double; idx in/out = permutation. */
+static void broken_msort(const int32_t *key, long *idx, long *tmp,
+                         long lo, long n) {
+    if (n <= 1)
+        return;
+    long n1 = n / 2, n2 = n - n1;
+    broken_msort(key, idx, tmp, lo, n1);
+    broken_msort(key, idx, tmp, lo + n1, n2);
+    long i = 0, j = 0, k = 0;
+    long *a = idx + lo, *b = idx + lo + n1;
+    while (i < n1 && j < n2) {
+        int32_t d = (int32_t)((uint32_t)key[b[j]] - (uint32_t)key[a[i]]);
+        tmp[k++] = (d < 0) ? b[j++] : a[i++];
+    }
+    while (i < n1)
+        tmp[k++] = a[i++];
+    while (j < n2)
+        tmp[k++] = b[j++];
+    memcpy(idx + lo, tmp, (size_t)n * sizeof(long));
+}
+
+GN_API void gn_broken_sort(const int32_t *key, long n, long *idx_out) {
+    for (long i = 0; i < n; i++)
+        idx_out[i] = i;
+    if (n <= 1)
+        return;
+    long *tmp = (long *)malloc((size_t)n * sizeof(long));
+    if (!tmp) {
+        return; /* identity permutation; caller's fallback re-sorts */
+    }
+    broken_msort(key, idx_out, tmp, 0, n);
+    free(tmp);
+}
+
+/* Pass 1b (preferred over count+fill): per-record byte offsets and payload
+ * sizes in one walk. rec_off needs R+1 entries (rec_off[R] = end offset);
+ * nc/ls/lrn/sa_len need R. sa_len[i] = -1 when absent (or want_sa == 0).
+ * Returns the record count, -1 on malformed input, -2 when cap is too
+ * small (caller re-sizes and retries). */
+GN_API long gn_bam_offsets(const uint8_t *data, long start, long end,
+                           int64_t *rec_off, int32_t *nc_out, int32_t *ls_out,
+                           uint8_t *lrn_out, int32_t *sa_len_out, int want_sa,
+                           long cap) {
+    long off = start, R = 0;
+    while (off + 4 <= end) {
+        uint32_t bs = rd_u32(data + off);
+        if (off + 4 + (long)bs > end)
+            break;
+        if (R >= cap)
+            return -2;
+        const uint8_t *r = data + off + 4;
+        uint8_t lrn = r[8];
+        uint16_t nc = rd_u16(r + 12);
+        int32_t ls = rd_i32(r + 16);
+        rec_off[R] = off;
+        nc_out[R] = nc;
+        ls_out[R] = ls;
+        lrn_out[R] = lrn;
+        sa_len_out[R] = -1;
+        if (want_sa) {
+            long p = 32 + lrn + 4L * nc + (ls + 1) / 2 + ls;
+            if (p < (long)bs) {
+                const uint8_t *payload;
+                long pl = find_sa(r + p, (long)bs - p, &payload);
+                if (pl >= 0)
+                    sa_len_out[R] = (int32_t)pl;
+            }
+        }
+        R++;
+        off += 4 + bs;
+    }
+    rec_off[R] = off;
+    return R;
+}
+
+typedef struct {
+    const uint8_t *data;
+    const int64_t *rec_off;
+    const int64_t *cigar_off, *seq_off, *name_off, *sa_off;
+    const int32_t *sa_len;
+    int32_t *refid, *pos, *mrefid, *mpos, *tlen, *lseq;
+    uint8_t *mapq;
+    uint16_t *flag;
+    uint32_t *cigar;
+    uint8_t *seq, *qual, *names, *sa;
+    int want_names, want_sa;
+    long r0, r1;
+} fill_job_t;
+
+static void *fill_worker(void *arg) {
+    fill_job_t *j = (fill_job_t *)arg;
+    for (long i = j->r0; i < j->r1; i++) {
+        const uint8_t *r = j->data + j->rec_off[i] + 4;
+        long bs = j->rec_off[i + 1] - j->rec_off[i] - 4;
+        j->refid[i] = rd_i32(r);
+        j->pos[i] = rd_i32(r + 4);
+        uint8_t lrn = r[8];
+        j->mapq[i] = r[9];
+        uint16_t nc = rd_u16(r + 12);
+        j->flag[i] = rd_u16(r + 14);
+        int32_t ls = rd_i32(r + 16);
+        j->lseq[i] = ls;
+        j->mrefid[i] = rd_i32(r + 20);
+        j->mpos[i] = rd_i32(r + 24);
+        j->tlen[i] = rd_i32(r + 28);
+        long p = 32;
+        if (j->want_names)
+            memcpy(j->names + j->name_off[i], r + p, lrn);
+        p += lrn;
+        memcpy(j->cigar + j->cigar_off[i], r + p, 4L * nc);
+        p += 4L * nc;
+        const uint8_t *packed = r + p;
+        uint8_t *sq = j->seq + j->seq_off[i];
+        for (int32_t k = 0; k + 1 < ls; k += 2) {
+            uint8_t b = packed[k >> 1];
+            sq[k] = (uint8_t)NT16[b >> 4];
+            sq[k + 1] = (uint8_t)NT16[b & 0xF];
+        }
+        if (ls & 1)
+            sq[ls - 1] = (uint8_t)NT16[packed[(ls - 1) >> 1] >> 4];
+        p += (ls + 1) / 2;
+        memcpy(j->qual + j->seq_off[i], r + p, ls);
+        p += ls;
+        if (j->want_sa && j->sa_len[i] >= 0 && p < bs) {
+            const uint8_t *payload;
+            long pl = find_sa(r + p, bs - p, &payload);
+            if (pl == (long)j->sa_len[i])
+                memcpy(j->sa + j->sa_off[i], payload, pl);
+        }
+    }
+    return NULL;
+}
+
+/* Pass 2 (threaded): fill caller-allocated arrays using offsets from
+ * gn_bam_offsets (+ host-side prefix sums). All *_off arrays have R+1
+ * entries, precomputed. Each worker owns a disjoint record range, so the
+ * fill — and the first-touch page faults of the big seq/qual outputs,
+ * which dominate on sandboxed kernels — parallelizes. Returns 0. */
+GN_API int gn_bam_fill_mt(const uint8_t *data, const int64_t *rec_off, long R,
+                          const int64_t *cigar_off, const int64_t *seq_off,
+                          const int64_t *name_off, const int64_t *sa_off,
+                          const int32_t *sa_len,
+                          int32_t *refid, int32_t *pos, uint8_t *mapq,
+                          uint16_t *flag, int32_t *mrefid, int32_t *mpos,
+                          int32_t *tlen, int32_t *lseq,
+                          uint32_t *cigar, uint8_t *seq, uint8_t *qual,
+                          uint8_t *names, uint8_t *sa,
+                          int want_names, int want_sa, int nthreads) {
+    if (nthreads < 1)
+        nthreads = 1;
+    if (nthreads > 64)
+        nthreads = 64;
+    if (nthreads > R)
+        nthreads = R > 0 ? (int)R : 1;
+    pthread_t tids[64];
+    fill_job_t jobs[64];
+    long per = (R + nthreads - 1) / nthreads;
+    int started = 0;
+    for (int t = 0; t < nthreads; t++) {
+        fill_job_t *j = &jobs[t];
+        j->data = data;
+        j->rec_off = rec_off;
+        j->cigar_off = cigar_off;
+        j->seq_off = seq_off;
+        j->name_off = name_off;
+        j->sa_off = sa_off;
+        j->sa_len = sa_len;
+        j->refid = refid; j->pos = pos; j->mapq = mapq; j->flag = flag;
+        j->mrefid = mrefid; j->mpos = mpos; j->tlen = tlen; j->lseq = lseq;
+        j->cigar = cigar; j->seq = seq; j->qual = qual; j->names = names;
+        j->sa = sa;
+        j->want_names = want_names;
+        j->want_sa = want_sa;
+        j->r0 = t * per;
+        j->r1 = (t + 1) * per < R ? (t + 1) * per : R;
+        if (j->r0 >= j->r1)
+            break;
+        if (pthread_create(&tids[t], NULL, fill_worker, j) != 0) {
+            fill_worker(j);
+            tids[t] = 0;
+        }
+        started++;
+    }
+    for (int t = 0; t < started; t++)
+        if (tids[t])
+            pthread_join(tids[t], NULL);
+    return 0;
 }
 
 /* Pass 2: fill caller-allocated arrays. *_off arrays have R+1 entries and

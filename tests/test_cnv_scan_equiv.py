@@ -58,3 +58,23 @@ def test_window_scan_matches_reference_port(seed):
                 assert ([(c.start, c.end, c.stdev) for c in nat]
                         == [(c.start, c.end, c.stdev) for c in ref]), \
                     (seed, trial, side)
+
+
+def test_broken_sort_native_matches_python():
+    """gn_broken_sort must produce the exact permutation of the Python
+    msort emulation of the reference's int-comparator qsort
+    (src/GROM.c:20164 + :1105), including wraparound-comparator cases."""
+    from grom_tpu.call.cnv import _broken_double_sort
+    from grom_tpu.native import get_lib
+    if get_lib() is None or not hasattr(get_lib(), "gn_broken_sort"):
+        import pytest
+        pytest.skip("native library unavailable")
+
+    import unittest.mock as mock
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 2, 3, 17, 100, 1001):
+        vals = rng.uniform(0.0, 4.0, n)
+        nat = _broken_double_sort(vals.copy())
+        with mock.patch("grom_tpu.native.get_lib", return_value=None):
+            ref = _broken_double_sort(vals.copy())
+        assert np.array_equal(nat.view(np.uint8), ref.view(np.uint8)), n
