@@ -595,7 +595,16 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
         d_v = depth[sl][vi].astype(np.int64)
         dspan = int(d_v.max()) + 1 if len(d_v) else 1
         skeys = (cls_v[vi].astype(np.int64) * 101 + gcv[vi]) * dspan + d_v
-        ukeys, inv = np.unique(skeys, return_inverse=True)
+        dense = 202 * dspan
+        if dense <= (1 << 24):
+            # dense-key unique: O(n) presence scan instead of a sort
+            present = np.zeros(dense, bool)
+            present[skeys] = True
+            ukeys = np.flatnonzero(present)
+            rank = np.cumsum(present) - 1
+            inv = rank[skeys]
+        else:
+            ukeys, inv = np.unique(skeys, return_inverse=True)
         base = np.empty(len(ukeys))
         kd = (ukeys % dspan).astype(np.int64)
         kg = ((ukeys // dspan) % 101).astype(np.int64)

@@ -183,7 +183,7 @@ def run(cfg: GromConfig, file_date: Optional[str] = None,
         jobs.append((refid, fa_name))
 
     for refid, fa_name, creads, sel, chrom in _chromosome_stream(
-            cfg, header, info, jobs, reads, streaming):
+            cfg, header, info, jobs, reads, streaming, engine):
         print(fa_name.lower(), flush=True)   # chromosome progress (src/GROM.c:20908)
         res = None
         if creads is None:
@@ -221,7 +221,7 @@ def run(cfg: GromConfig, file_date: Optional[str] = None,
 
 
 def _chromosome_stream(cfg: GromConfig, header, info, jobs, reads,
-                       streaming: bool):
+                       streaming: bool, engine: str = "host"):
     """Yields (refid, fa_name, creads, sel, chrom) per eligible chromosome.
 
     In streaming (BAI) mode, a background thread decodes chromosome N+1
@@ -242,8 +242,13 @@ def _chromosome_stream(cfg: GromConfig, header, info, jobs, reads,
     import queue
     import threading
     q: "queue.Queue" = queue.Queue(maxsize=1)
+    # chunked streaming is the default host/tpu path: bounded memory AND
+    # faster (pooled chunk buffers avoid the fresh-page tax; chunk N+1
+    # prefetches while N computes). The mesh engine consumes whole
+    # chromosomes, so it keeps the large-chromosome-only threshold.
+    default_thresh = (64 << 20) if engine == "mesh" else 0
     stream_thresh = int(os.environ.get("GROM_TPU_STREAM_BASES",
-                                       str(64 << 20)))
+                                       str(default_thresh)))
     if os.environ.get("GROM_TPU_STREAM") == "1":
         stream_thresh = 0
 
