@@ -46,6 +46,15 @@ def resolve_engine() -> str:
     jp = os.environ.get("JAX_PLATFORMS", "")
     if jp and set(p.strip() for p in jp.split(",") if p.strip()) <= {"cpu"}:
         return "host"
+    # Decide WITHOUT initializing a jax backend when possible: PJRT client
+    # bring-up for a remote/tunneled chip costs ~10s of startup, and such a
+    # link is below the shipping crossover anyway. A locally-attached
+    # accelerator (TPU VM, GPU host) always exposes device files; their
+    # absence means cpu-only or a tunneled remote chip — host engine either
+    # way. GROM_TPU_PROBE=1 forces the full bandwidth probe instead.
+    if (os.environ.get("GROM_TPU_PROBE") != "1"
+            and not _local_accelerator_present()):
+        return "host"
     try:
         import jax
         if jax.default_backend() == "cpu":
@@ -58,6 +67,16 @@ def resolve_engine() -> str:
         return "mesh" if len(jax.devices()) > 1 else "tpu"
     except Exception:
         return "host"
+
+
+def _local_accelerator_present() -> bool:
+    """Device files of a locally-attached accelerator: TPU VMs expose
+    /dev/accel* (or /dev/vfio/* for newer PCIe drivers), GPU hosts
+    /dev/nvidia*. These move data at PCIe/GB-s rates — the regime where the
+    device engines win."""
+    import glob
+    return bool(glob.glob("/dev/accel*") or glob.glob("/dev/vfio/*")
+                or glob.glob("/dev/nvidia[0-9]*"))
 
 
 _LINK_FAST: Optional[bool] = None
@@ -101,7 +120,7 @@ def _start_prefault(bam_path: str) -> None:
     except OSError:
         size = 0
     cap = int(os.environ.get("GROM_TPU_PREFAULT_MAX", str(3 << 30)))
-    target = min(cap, max(768 << 20, 5 * size))
+    target = min(cap, max(2 << 30, 5 * size))
     from grom_tpu.utils import prefault
     prefault.maybe_start(target)
 
@@ -474,7 +493,8 @@ def call_chromosome_streamed(chrom: np.ndarray, refid: int, out_name: str,
         engine = "tpu"   # sharded accumulate is not chunk-ranged yet
     device = engine == "tpu"
     L = len(chrom)
-    C = chunk_bases or (32 << 20)
+    C = chunk_bases or int(os.environ.get("GROM_TPU_CHUNK_BASES",
+                                          str(32 << 20)))
     l0 = scan_mod.window_len_l0(cfg, drv)
     scan_start = (2 * l0) // 4 + 1
     if region_start > 0:

@@ -98,8 +98,6 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.gn_deposits_abort.argtypes = [P]
     lib.gn_snv_accumulate.restype = I
     lib.gn_snv_accumulate.argtypes = [L] + [P] * 29
-    lib.gn_cnv_window_scan.restype = L
-    lib.gn_cnv_window_scan.argtypes = [P] * 13 + [L]
     lib.gn_intern_names.restype = L
     lib.gn_intern_names.argtypes = [P, P, L, P, P]
     lib.gn_tri_weighted.restype = I

@@ -19,6 +19,47 @@ import numpy as np
 from grom_tpu.call.cnv import CnvCall
 
 
+_oracle_lib = None
+_oracle_tried = False
+
+
+def _get_oracle_lib():
+    """The TEST-ONLY oracle library (native/_grom_test_oracle.so), built on
+    demand. Kept out of the production _grom_native.so so no GPL-derived
+    object code ships in the production engine (see module header)."""
+    global _oracle_lib, _oracle_tried
+    if _oracle_lib is not None or _oracle_tried:
+        return _oracle_lib
+    _oracle_tried = True
+    import ctypes
+    import os
+    import subprocess
+    src_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "native")
+    so = os.path.join(src_dir, "_grom_test_oracle.so")
+    src = os.path.join(src_dir, "grom_cnv_oracle.c")
+    if not os.path.exists(src):
+        return None
+    if not (os.path.exists(so)
+            and os.path.getmtime(so) >= os.path.getmtime(src)):
+        try:
+            r = subprocess.run(["make", "-C", src_dir, "-s", "oracle"],
+                               capture_output=True, timeout=120)
+            if r.returncode != 0 or not os.path.exists(so):
+                return None
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+        P = ctypes.c_void_p
+        lib.gn_cnv_window_scan.restype = ctypes.c_long
+        lib.gn_cnv_window_scan.argtypes = [P] * 13 + [ctypes.c_long]
+        _oracle_lib = lib
+    except OSError:
+        _oracle_lib = None
+    return _oracle_lib
+
+
 def window_scan_native(blocks, depth, mq, gc, nwin, low_acgt, stdev_list,
                         thr, win_std, cfg, L, side: int
                         ) -> Optional[List[CnvCall]]:
@@ -26,9 +67,8 @@ def window_scan_native(blocks, depth, mq, gc, nwin, low_acgt, stdev_list,
     :func:`window_scan_ref`. None when unavailable."""
     import ctypes
 
-    from grom_tpu.native import get_lib
-    lib = get_lib()
-    if lib is None or not hasattr(lib, "gn_cnv_window_scan"):
+    lib = _get_oracle_lib()
+    if lib is None:
         return None
     holds = []
 

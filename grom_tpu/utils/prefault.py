@@ -1,22 +1,25 @@
-"""Background heap pre-faulting for sandboxed kernels.
+"""Background memory pre-acquisition for sandboxed kernels.
 
 On gVisor-class kernels (this dev host included) a first-touch page fault
-costs ~5-6s per GiB of sys time, so every phase of the pipeline pays a
-one-time tax proportional to its fresh allocation footprint — the measured
-steady-state compute of e.g. build_batch is 0.3s but its first call on a
-2.4M-read chromosome costs 4s. The reference's C design sidesteps this by
-never materializing large buffers (htslib streams 64KB BGZF blocks,
-src/GROM.c:82-324); our vectorized design wants the dense arrays.
+costs ~14s per GiB of sys time — the sentry must acquire host memory — so
+every phase of the pipeline pays a one-time tax proportional to its fresh
+allocation footprint. Memory the process has touched ONCE is cheap to fault
+again (~0.1s/GiB), which is why grom_tpu routes large numpy buffers through
+the huge-page slab pool (native/grom_hugealloc.c): freed slabs are kept
+mapped and re-carved warm.
 
-Fix: one daemon thread touches heap pages AHEAD of the compute phases while
-a core is otherwise idle (the single-threaded Python phases leave one of the
-host's cores free). Combined with a single malloc arena (so helper-thread
-pages land in the same arena the pipeline allocates from) and a high trim
-threshold (so freed pages stay faulted), later allocations reuse warm pages
-at memory bandwidth.
+This module pre-pays the acquisition cost: one daemon thread reserves a
+slab of the pipeline's expected peak footprint into the pool
+(_hugealloc.reserve, GIL released) while a core is otherwise idle, so the
+compute phases carve warm slabs instead of faulting inline. THP (the
+reserve uses 2 MiB-aligned MADV_HUGEPAGE maps) makes the reserve itself
+~3x cheaper than naive touching.
 
 Enabled only when a startup probe measures an expensive-fault kernel
-(>1s/GiB); on normal kernels this module does nothing.
+(>1s/GiB); on normal kernels this module does nothing. The reference's C
+design sidesteps the problem by never materializing large buffers (htslib
+streams 64KB BGZF blocks, src/GROM.c:82-324); our vectorized design wants
+the dense arrays.
 """
 
 from __future__ import annotations
@@ -37,22 +40,28 @@ _M_ARENA_MAX = -8
 _started: Optional[threading.Event] = None
 
 
-def fault_cost_s_per_gib() -> float:
-    """Measured first-touch cost of this kernel (s/GiB), probed once."""
-    a = np.empty(64 << 20, np.uint8)
+def fault_cost_s_per_gib(probe_mb: int = 16) -> float:
+    """Measured first-touch cost of this kernel (s/GiB), probed once.
+
+    The probe buffer must bypass the slab pool (a recycled slab would
+    measure warm-page speed), so it uses a raw anonymous mmap."""
+    import mmap
+    sz = probe_mb << 20
+    buf = mmap.mmap(-1, sz)
     t0 = time.perf_counter()
-    a.fill(0)
+    buf.write(b"\x00" * (1 << 20))
+    for off in range(1 << 20, sz, 4096):
+        buf[off] = 1
     dt = time.perf_counter() - t0
-    del a
-    return dt * 16.0
+    buf.close()
+    return dt * 1024.0 / probe_mb
 
 
 def maybe_start(target_bytes: int, threshold_s_per_gib: float = 1.0
                 ) -> Optional[threading.Event]:
-    """Start the prefault thread when the kernel's fault cost warrants it.
-
-    Returns a stop Event (set it to halt early), or None when disabled
-    (normal kernel, non-linux, or GROM_TPU_PREFAULT=0)."""
+    """Start the background reserve when the kernel's fault cost warrants
+    it. Returns a stop Event (set it to halt early), or None when disabled
+    (normal kernel, non-linux, GROM_TPU_PREFAULT=0, or no allocator)."""
     global _started
     if _started is not None:
         return _started
@@ -61,36 +70,38 @@ def maybe_start(target_bytes: int, threshold_s_per_gib: float = 1.0
     if os.environ.get("GROM_TPU_PREFAULT", "1") == "0":
         return None
     try:
+        from grom_tpu import _hugealloc
+    except ImportError:
+        return None
+    try:
         cost = fault_cost_s_per_gib()
-    except MemoryError:
+    except (MemoryError, OSError):
         return None
     if cost < threshold_s_per_gib:
         return None
     try:
         libc = ctypes.CDLL(None, use_errno=True)
-        # helper-thread pages must land in the arena the pipeline mallocs
-        # from; glibc otherwise gives each thread its own arena
+        # keep small allocations in one arena with a high trim threshold so
+        # their pages stay faulted too
         libc.mallopt(_M_ARENA_MAX, 1)
-        libc.mallopt(_M_MMAP_THRESHOLD, 1 << 30)
         libc.mallopt(_M_TRIM_THRESHOLD, (1 << 31) - 1)
     except (OSError, AttributeError):
-        return None
+        pass
 
     stop = threading.Event()
 
     def work():
-        chunk = 128 << 20
-        held = []
-        total = 0
-        while total < target_bytes and not stop.is_set():
+        # reserve in ~128MB slices so a stop request takes effect quickly
+        done = 0
+        while done < target_bytes and not stop.is_set():
+            step = min(128 << 20, target_bytes - done)
             try:
-                a = np.empty(chunk, np.uint8)
-            except MemoryError:
+                got = _hugealloc.reserve(step)
+            except Exception:
                 break
-            a.fill(0)          # releases the GIL; faults the pages
-            held.append(a)
-            total += chunk
-        held.clear()           # pages stay faulted (trim threshold)
+            if not got:
+                break
+            done += got
 
     t = threading.Thread(target=work, name="grom-prefault", daemon=True)
     t.start()
