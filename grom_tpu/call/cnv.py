@@ -564,6 +564,28 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
     pv_len = len(pv_p)
     stdev_list = np.zeros(L)
     mf = cfg.mapq_factor
+
+    # native fast path (native/grom_cnv.c): bit-identical C ports of the
+    # z-score, null-model and window-scan stages below; the numpy code
+    # remains the differential oracle (tests/test_native_cnv.py)
+    nat = _native_cnv_ctx(hi_arr, lo_arr, depth, mq, gc, low_acgt, ave, std,
+                          pv_p, pv_sd, NB, cfg)
+    if nat is not None:
+        lo_z, hi_z = full_blocks[0]
+        if hi_z > lo_z:
+            nat.zscores(lo_z, hi_z, stdev_list)
+        if prep.most_biased_repeat != -1:
+            _repeat_rescore(feats, prep, depth, low_acgt, acgt, stdev_list,
+                            pv_p, pv_sd, cfg, m, rng)
+        win_std = nat.null_model(prep.lowvar_blocks, stdev_list)
+        scan_blocks = [(m - 1, L - W)]
+        dels = nat.scan(scan_blocks, stdev_list, del_thr, win_std, L, +1)
+        dups = nat.scan(scan_blocks, stdev_list, dup_thr, win_std, L, -1)
+        _copy_number(dels, dups, depth, mq, gc, low_acgt, ave, ploidy, cfg)
+        if gen1000_out is not None and cfg.gen1000_window > 0:
+            gen1000_out.extend(_gen1000_track(depth, mq, gc, low_acgt, ave,
+                                              ploidy, cfg, L))
+        return dels, dups
     # The reference walks every base keying a (class, gc, depth) z cache
     # (src/GROM.c:18770-18965); we resolve the sticky class vectorized,
     # then evaluate one z per unique key and scatter.
@@ -692,6 +714,17 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
                         stdev_list, dup_thr, win_std, cfg, L, side=-1)
 
     # ---- copy number (src/GROM.c:20052-20250) ----
+    _copy_number(dels, dups, depth, mq, gc, low_acgt, ave, ploidy, cfg)
+
+    # ---- optional fixed-window CN track, -N (src/GROM.c:20244-20345) ----
+    if gen1000_out is not None and cfg.gen1000_window > 0:
+        gen1000_out.extend(_gen1000_track(depth, mq, gc, low_acgt, ave,
+                                          ploidy, cfg, L))
+    return dels, dups
+
+
+def _copy_number(dels, dups, depth, mq, gc, low_acgt, ave, ploidy, cfg):
+    """Per-call trimmed-mean copy number (src/GROM.c:20052-20250)."""
     for lst in (dels, dups):
         for c in lst:
             sl = slice(c.start, c.end)
@@ -705,17 +738,112 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
                 t1 = len(v) - t0
                 if t1 - t0 > 0:
                     c.cn = (v[t0:t1].sum() / (t1 - t0)) * ploidy
-                    c.cn_stdev = math.sqrt((((ploidy * v - c.cn) ** 2).sum()) / len(v))
+                    c.cn_stdev = math.sqrt(
+                        (((ploidy * v - c.cn) ** 2).sum()) / len(v))
                 else:
                     c.cn = -1.0
             else:
                 c.cn = -1.0
 
-    # ---- optional fixed-window CN track, -N (src/GROM.c:20244-20345) ----
-    if gen1000_out is not None and cfg.gen1000_window > 0:
-        gen1000_out.extend(_gen1000_track(depth, mq, gc, low_acgt, ave,
-                                          ploidy, cfg, L))
-    return dels, dups
+
+class _NativeCnv:
+    """Bound native CNV stage runner (see native/grom_cnv.c)."""
+
+    def __init__(self, lib, dist_vals, dist_off, ave_f, std_f, depth, mq,
+                 gc, low_acgt, pv_p, pv_sd, nb, cfg):
+        self._lib = lib
+        self._keep = (dist_vals, dist_off, ave_f, std_f, pv_p, pv_sd)
+        self._depth = depth
+        self._mq = mq
+        self._gc = gc
+        self._lowa = low_acgt
+        self._nb = nb
+        self._cfg = cfg
+        import ctypes
+        self._v = ctypes.c_void_p
+        self._p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+
+    def zscores(self, lo, hi, stdev_list):
+        cfg = self._cfg
+        dist_vals, dist_off, ave_f, std_f, pv_p, pv_sd = self._keep
+        self._lib.gn_cnv_zscores(
+            int(lo), int(hi), self._p(self._depth), self._p(self._mq),
+            self._p(self._gc), self._p(self._lowa), self._p(dist_vals),
+            self._p(dist_off), self._p(ave_f), self._p(std_f),
+            self._p(pv_p), self._p(pv_sd), len(pv_p), self._nb,
+            cfg.min_mapq, float(cfg.mapq_factor),
+            float(cfg.dup_threshold_factor),
+            1 if cfg.ranks_stdev != 0 else 0, self._p(stdev_list))
+
+    def null_model(self, lowvar_blocks, stdev_list):
+        cfg = self._cfg
+        _, dist_off, _, _, _, _ = self._keep
+        maxw = cfg.max_rd_window_len
+        sums = np.zeros(maxw + 1)
+        counts = np.zeros(maxw + 1, np.int64)
+        blocks = np.asarray(lowvar_blocks, np.int64).reshape(-1)
+        self._lib.gn_cnv_null_model(
+            self._p(blocks), len(lowvar_blocks), self._p(self._depth),
+            self._p(self._mq), self._p(self._gc), self._p(self._lowa),
+            self._p(dist_off), self._p(stdev_list), self._nb,
+            cfg.min_mapq, cfg.min_rd_window_len, maxw, cfg.sampling_rate,
+            self._p(sums), self._p(counts))
+        win_std = np.zeros(maxw + 1)
+        sel = counts > 1
+        win_std[sel] = np.sqrt(sums[sel] / (counts[sel] - 1))
+        return win_std
+
+    def scan(self, blocks, stdev_list, thr, win_std, L, side):
+        cfg = self._cfg
+        _, dist_off, _, _, _, _ = self._keep
+        thr_f = np.ascontiguousarray(thr, np.float64).reshape(-1)
+        out: List[CnvCall] = []
+        for (bs, be0) in blocks:
+            cap = 1 << 14
+            while True:
+                starts = np.empty(cap, np.int64)
+                ends = np.empty(cap, np.int64)
+                sds = np.empty(cap, np.float64)
+                n = int(self._lib.gn_cnv_scan(
+                    int(bs), int(be0), self._p(self._depth),
+                    self._p(self._mq), self._p(self._gc), self._p(self._lowa),
+                    self._p(dist_off), self._p(stdev_list), self._p(thr_f),
+                    self._p(win_std), self._nb, cfg.min_mapq,
+                    cfg.min_rd_window_len, cfg.max_rd_window_len, int(L),
+                    float(cfg.max_rd_low_acgt_or_windows), int(side),
+                    self._p(starts), self._p(ends), self._p(sds), cap))
+                if n <= cap:
+                    break
+                cap = n
+            for i in range(n):
+                out.append(CnvCall(int(starts[i]), int(ends[i]),
+                                   float(sds[i])))
+        return out
+
+
+def _native_cnv_ctx(hi_arr, lo_arr, depth, mq, gc, low_acgt, ave, std,
+                    pv_p, pv_sd, nb, cfg) -> Optional["_NativeCnv"]:
+    """Build the flattened bin-distribution views the native stages index;
+    None when the native library is unavailable/disabled."""
+    from grom_tpu.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gn_cnv_zscores"):
+        return None
+    arrs = list(hi_arr) + list(lo_arr)
+    lens = np.array([len(a) for a in arrs], np.int64)
+    dist_off = np.zeros(2 * nb + 1, np.int64)
+    np.cumsum(lens, out=dist_off[1:])
+    dist_vals = (np.concatenate(arrs).astype(np.int64, copy=False)
+                 if dist_off[-1] else np.zeros(1, np.int64))
+    ave_f = np.ascontiguousarray(ave, np.float64).reshape(-1)
+    std_f = np.ascontiguousarray(std, np.float64).reshape(-1)
+    depth_c = np.ascontiguousarray(depth, np.int32)
+    mq_c = np.ascontiguousarray(mq, np.int64)
+    gc_c = np.ascontiguousarray(gc, np.int8)
+    lowa_c = np.ascontiguousarray(low_acgt, np.int8)
+    return _NativeCnv(lib, dist_vals, dist_off, ave_f, std_f, depth_c, mq_c,
+                      gc_c, lowa_c, np.ascontiguousarray(pv_p, np.float64),
+                      np.ascontiguousarray(pv_sd, np.float64), nb, cfg)
 
 
 def _gen1000_track(depth, mq, gc, low_acgt, ave, ploidy, cfg, L) -> List[str]:

@@ -314,7 +314,8 @@ def _streaming_insert_stats(cfg: GromConfig,
 
     from grom_tpu.ingest.bam import (FDUP, FMUNMAP, FPAIRED, FPROPER_PAIR,
                                      FUNMAP)
-    from grom_tpu.ingest.insert_size import estimate_insert_stats
+    from grom_tpu.ingest.insert_size import (estimate_insert_stats,
+                                             estimate_insert_stats_streaming)
     cache = cfg.bam + ".grom_tpu.mean.json"
     if os.path.exists(cache):
         try:
@@ -322,13 +323,31 @@ def _streaming_insert_stats(cfg: GromConfig,
                 return InsertStats.from_json(f.read())
         except (ValueError, KeyError):
             pass
+    ref_cache = cfg.bam + ".mean"    # the reference binary's own cache
+    if os.path.exists(ref_cache):
+        try:
+            with open(ref_cache) as f:
+                v = f.read().split()
+            if len(v) == 5:
+                return InsertStats(int(v[0]), int(v[2]), int(v[3]),
+                                   int(v[1]), int(v[4]))
+        except (ValueError, OSError):
+            pass
+    st = estimate_insert_stats_streaming(cfg.bam, cfg)
+    if st is not None:
+        try:
+            with open(cache, "w") as f:
+                f.write(st.to_json())
+        except OSError:
+            pass
+        return st
     keys = ("flag", "refid", "mrefid", "pos", "mpos", "tlen", "lseq", "mapq")
     cols = {k: [] for k in keys}
     contributing = 0
     for refid in range(len(header.ref_names)):
         _, r = bam_mod.read_bam_region(cfg.bam, refid, 0,
                                        int(header.ref_lengths[refid]),
-                                       want_names=False)
+                                       want_names=False, fields_only=True)
         if not len(r.pos):
             continue
         for k in keys:

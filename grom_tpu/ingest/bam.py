@@ -351,6 +351,54 @@ def _decode_records_native(data, start: int, end: int,
                     name_id=name_id, name_len=name_len_a)
 
 
+def decode_records_fixed(data, start: int, end: Optional[int] = None
+                         ) -> RawReads:
+    """Fixed-fields-only decode: refid/pos/mapq/flag/mrefid/mpos/tlen/lseq,
+    with every ragged payload left empty. This is all the insert-size
+    estimator reads (src/GROM.c:1205-1318) at ~5x less memory traffic than
+    a full decode. Falls back to the full decode without the native lib."""
+    end = len(data) if end is None else end
+    from grom_tpu.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gn_bam_fixed"):
+        return decode_records(data, start, end, want_names=False,
+                              want_sa=False)
+    import ctypes
+    ptr = data.ctypes.data_as(ctypes.c_void_p) \
+        if isinstance(data, np.ndarray) else data
+    v = ctypes.c_void_p
+    cap = max((end - start) // 40, 64)
+    while True:
+        refid = np.empty(cap, np.int32)
+        pos = np.empty(cap, np.int32)
+        mapq = np.empty(cap, np.uint8)
+        flag = np.empty(cap, np.uint16)
+        mrefid = np.empty(cap, np.int32)
+        mpos = np.empty(cap, np.int32)
+        tlen = np.empty(cap, np.int32)
+        lseq = np.empty(cap, np.int32)
+        R = lib.gn_bam_fixed(ptr, start, end,
+                             refid.ctypes.data_as(v), pos.ctypes.data_as(v),
+                             mapq.ctypes.data_as(v), flag.ctypes.data_as(v),
+                             mrefid.ctypes.data_as(v), mpos.ctypes.data_as(v),
+                             tlen.ctypes.data_as(v), lseq.ctypes.data_as(v),
+                             cap)
+        if R == -2:
+            cap *= 2
+            continue
+        if R < 0:
+            return decode_records(data, start, end, want_names=False,
+                                  want_sa=False)
+        break
+    R = int(R)
+    e = np.empty
+    return RawReads(refid[:R], pos[:R], mapq[:R], flag[:R], mrefid[:R],
+                    mpos[:R], tlen[:R], lseq[:R],
+                    e(0, np.uint32), np.zeros(R + 1, np.int64),
+                    e(0, np.uint8), e(0, np.uint8), np.zeros(R + 1, np.int64),
+                    [], [None] * R)
+
+
 def decode_records(data: bytes, start: int, end: Optional[int] = None,
                    want_names: bool = True, want_sa: bool = True) -> RawReads:
     """Decode records from flat decompressed BAM bytes in [start, end)."""
@@ -580,12 +628,14 @@ def _cached_reader(path: str, bai_path: str):
 
 
 def read_bam_region(path: str, refid: int, beg: int = 0,
-                    end: Optional[int] = None, want_names: bool = True
+                    end: Optional[int] = None, want_names: bool = True,
+                    fields_only: bool = False
                     ) -> Tuple[BamHeader, RawReads]:
     """Decode only the records overlapping [beg, end) of one reference,
     using the BAI index for fetch planning — the equivalent of the
     reference's per-chromosome ``bam_fetch`` (src/GROM.c:981-992). Falls
-    back to a full-file read (filtered) when no index is present."""
+    back to a full-file read (filtered) when no index is present.
+    ``fields_only`` skips every ragged payload (see decode_records_fixed)."""
     from grom_tpu.ingest.bai import region_chunks
 
     bai_path = find_bai(path)
@@ -603,7 +653,9 @@ def read_bam_region(path: str, refid: int, beg: int = 0,
     for vs, ve in chunks:
         flat, s_off, e_off = rdr.span(vs, ve, as_array=True)
         try:
-            parts.append(decode_records(flat, s_off, e_off,
+            parts.append(decode_records_fixed(flat, s_off, e_off)
+                         if fields_only else
+                         decode_records(flat, s_off, e_off,
                                         want_names=want_names))
         finally:
             if isinstance(flat, np.ndarray):

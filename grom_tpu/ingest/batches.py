@@ -119,11 +119,73 @@ def rmdup_mask(pos, mpos, mchr, lseq, tlen, mapq, svtype, min_mapq: int,
     return keep
 
 
+def _build_batch_native(reads: RawReads, keep: np.ndarray):
+    """One-pass C cigar walk (native/grom_native.c gn_batch_build): fills
+    the clip/indel adjustments and the exact-size M-span table without the
+    numpy path's ~10 per-op temporaries. Returns None without the lib."""
+    from grom_tpu.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gn_batch_build"):
+        return None
+    import ctypes
+    v = ctypes.c_void_p
+    R = len(reads)
+    cig = np.ascontiguousarray(reads.cigar, np.uint32)
+    coff = np.ascontiguousarray(reads.cigar_off, np.int64)
+    pos32 = np.ascontiguousarray(reads.pos, np.int32)
+    keep8 = np.ascontiguousarray(keep, np.uint8)
+    ns = int(lib.gn_batch_count_spans(cig.ctypes.data_as(v),
+                                      coff.ctypes.data_as(v),
+                                      keep8.ctypes.data_as(v),
+                                      ctypes.c_long(R)))
+    start_adj = np.empty(R, np.int64)
+    end_adj = np.empty(R, np.int64)
+    end_adj_indel = np.empty(R, np.int64)
+    span_read = np.empty(ns, np.int32)
+    span_ref = np.empty(ns, np.int64)
+    span_readoff = np.empty(ns, np.int64)
+    span_len = np.empty(ns, np.int64)
+    got = int(lib.gn_batch_build(
+        cig.ctypes.data_as(v), coff.ctypes.data_as(v),
+        pos32.ctypes.data_as(v), keep8.ctypes.data_as(v), ctypes.c_long(R),
+        start_adj.ctypes.data_as(v), end_adj.ctypes.data_as(v),
+        end_adj_indel.ctypes.data_as(v), span_read.ctypes.data_as(v),
+        span_ref.ctypes.data_as(v), span_readoff.ctypes.data_as(v),
+        span_len.ctypes.data_as(v)))
+    if got != ns:
+        return None
+    return start_adj, end_adj, end_adj_indel, (span_read, span_ref,
+                                               span_readoff, span_len)
+
+
 def build_batch(reads: RawReads, refid: int, min_mapq: int = 20,
                 add_factor: int = 6, rmdup: bool = False) -> ReadBatch:
     R = len(reads)
     flag = reads.flag.astype(np.int32)
     pos = reads.pos.astype(np.int64)
+
+    chr_eq = reads.mrefid == refid
+    svtype = classify_svtype(flag, chr_eq, reads.pos, reads.mpos)
+    keep = ((flag & FUNMAP) == 0) & ((flag & FDUP) == 0)
+    if rmdup:
+        keep &= rmdup_mask(reads.pos, reads.mpos, reads.mrefid, reads.lseq,
+                           reads.tlen, reads.mapq, svtype, min_mapq)
+    add = np.where(reads.mapq >= min_mapq, add_factor, 0).astype(np.int32)
+
+    native = _build_batch_native(reads, keep)
+    if native is not None:
+        start_adj, end_adj, end_adj_indel, spans = native
+        span_read, span_ref, span_readoff, span_len = spans
+        return ReadBatch(
+            pos=pos, mapq=reads.mapq.astype(np.int32), flag=flag,
+            mchr=reads.mrefid.astype(np.int32),
+            mpos=reads.mpos.astype(np.int64),
+            tlen=reads.tlen.astype(np.int64), lseq=reads.lseq.astype(np.int64),
+            start_adj=start_adj, end_adj=end_adj,
+            end_adj_indel=end_adj_indel, svtype=svtype, keep=keep, add=add,
+            span_read=span_read, span_ref=span_ref,
+            span_readoff=span_readoff, span_len=span_len, reads=reads,
+        )
 
     # vectorized cigar walk: per-op advances
     cig = reads.cigar
@@ -172,14 +234,6 @@ def build_batch(reads: RawReads, refid: int, min_mapq: int = 20,
     end_adj_indel = np.zeros(R, dtype=np.int64)
     np.add.at(end_adj_indel, op_read[is_ins], lens[is_ins])
     np.subtract.at(end_adj_indel, op_read[is_del], lens[is_del])
-
-    chr_eq = reads.mrefid == refid
-    svtype = classify_svtype(flag, chr_eq, reads.pos, reads.mpos)
-    keep = ((flag & FUNMAP) == 0) & ((flag & FDUP) == 0)
-    if rmdup:
-        keep &= rmdup_mask(reads.pos, reads.mpos, reads.mrefid, reads.lseq,
-                           reads.tlen, reads.mapq, svtype, min_mapq)
-    add = np.where(reads.mapq >= min_mapq, add_factor, 0).astype(np.int32)
 
     # M spans of kept reads
     m_idx = np.flatnonzero(is_m & keep[op_read])

@@ -72,9 +72,19 @@ def estimate_insert_stats(reads: RawReads, cfg: GromConfig) -> InsertStats:
         (reads.mapq[examined] >= cfg.min_mapq)
     mapped_read_bases = int(reads.lseq[examined][ex_ok].sum())
 
+    return stats_from_samples(inserts, lseqs, mapped_read_bases, cfg)
+
+
+def stats_from_samples(inserts: np.ndarray, lseqs: np.ndarray,
+                       mapped_read_bases: int, cfg: GromConfig) -> InsertStats:
+    """The statistics tail shared by the in-memory and streaming samplers:
+    sort → median → 5x-median truncation → quantile min/max with the
+    reference's exact index arithmetic (src/GROM.c:1272-1297)."""
     count = len(inserts)
     if count == 0:
         return InsertStats(0, 0, 0, 0, mapped_read_bases)
+    inserts = inserts.astype(np.int64, copy=False)
+    lseqs = lseqs.astype(np.int64, copy=False)
     s = np.sort(inserts, kind="stable")
     median = int(s[count // 2])
     max_insert = median * cfg.insert_max_mult
@@ -98,6 +108,80 @@ def estimate_insert_stats(reads: RawReads, cfg: GromConfig) -> InsertStats:
     sl = np.sort(lseqs, kind="stable")
     read_len = int(sl[count // 2])
     return InsertStats(insert_mean, insert_min, insert_max, read_len, mapped_read_bases)
+
+
+def estimate_insert_stats_streaming(bam_path: str, cfg: GromConfig
+                                    ) -> Optional[InsertStats]:
+    """Single streaming pass over the BAM in bounded (~48MB uncompressed)
+    block windows: the native gn_insert_scan collects samples record by
+    record and the pass stops as soon as the reference's 10M-record sample
+    fills (src/GROM.c:1205-1318) — no whole-file inflate, no per-read
+    arrays. Returns None when the native library is unavailable."""
+    import ctypes
+
+    from grom_tpu.ingest import bam as bam_mod
+    from grom_tpu.native import get_lib
+    from grom_tpu.utils.bufpool import POOL
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gn_insert_scan"):
+        return None
+    from grom_tpu.ingest.bgzf import BgzfRandomReader
+    bai = bam_mod.find_bai(bam_path)
+    if bai is not None:
+        # share the driver's cached reader (one compressed-source read and
+        # block scan for the whole pipeline)
+        rdr = bam_mod._cached_reader(bam_path, bai)[0]
+    else:
+        rdr = BgzfRandomReader(bam_path)
+    # header end = first record's flat offset
+    nb = 1
+    while True:
+        head = rdr.inflate_blocks(0, nb)
+        try:
+            _, first_off = bam_mod.decode_header(head)
+            break
+        except Exception:
+            if nb >= rdr.n_blocks:
+                return None
+            nb *= 2
+    cap = cfg.insert_sample_size
+    inserts = np.empty(cap, np.int32)
+    lseqs = np.empty(cap, np.int32)
+    io = np.zeros(4, np.int64)
+    v = ctypes.c_void_p
+    cur = first_off
+    uoff = rdr._uoff
+    K = max(1, (48 << 20) // 65280)          # blocks per ~48MB window
+    n_blocks = rdr.n_blocks
+    while io[3] == 0:
+        b = int(np.searchsorted(uoff, cur, side="right")) - 1
+        if b >= n_blocks:
+            break
+        e = min(b + K, n_blocks)
+        flat = rdr.inflate_blocks(b, e, as_array=True)
+        try:
+            start_in = cur - int(uoff[b])
+            end_in = int(uoff[e] - uoff[b])
+            nxt = lib.gn_insert_scan(
+                flat.ctypes.data_as(v) if isinstance(flat, np.ndarray)
+                else flat, start_in, end_in,
+                inserts.ctypes.data_as(v), lseqs.ctypes.data_as(v),
+                cap, cfg.min_mapq, io.ctypes.data_as(v))
+        finally:
+            if isinstance(flat, np.ndarray):
+                POOL.release(flat)
+        new_cur = int(uoff[b]) + int(nxt)
+        if new_cur <= cur:
+            if e >= n_blocks:
+                break
+            K *= 2                            # record longer than the window
+            continue
+        cur = new_cur
+        if e >= n_blocks and cur >= int(uoff[n_blocks]) - 4:
+            break
+    n = int(io[0])
+    return stats_from_samples(inserts[:n], lseqs[:n], int(io[1] + io[2]
+                              if io[3] == 0 else io[1]), cfg)
 
 
 def load_or_estimate(bam_path: str, reads: Optional[RawReads],

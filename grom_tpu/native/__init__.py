@@ -82,6 +82,28 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         lib.gn_bam_offsets.argtypes = [P, L, L, P, P, P, P, P, I, L]
         lib.gn_bam_fill_mt.restype = I
         lib.gn_bam_fill_mt.argtypes = [P, P, L] + [P] * 18 + [I, I, I]
+    if hasattr(lib, "gn_bam_fixed"):
+        lib.gn_bam_fixed.restype = L
+        lib.gn_bam_fixed.argtypes = [P, L, L] + [P] * 8 + [L]
+    if hasattr(lib, "gn_insert_scan"):
+        lib.gn_insert_scan.restype = L
+        lib.gn_insert_scan.argtypes = [P, L, L, P, P, L, I, P]
+    if hasattr(lib, "gn_batch_build"):
+        lib.gn_batch_count_spans.restype = L
+        lib.gn_batch_count_spans.argtypes = [P, P, P, L]
+        lib.gn_batch_build.restype = L
+        lib.gn_batch_build.argtypes = [P, P, P, P, L] + [P] * 7
+    if hasattr(lib, "gn_cnv_zscores"):
+        D = ctypes.c_double
+        lib.gn_cnv_zscores.restype = None
+        lib.gn_cnv_zscores.argtypes = [L, L] + [P] * 10 + \
+            [L, L, L, D, D, I, P]
+        lib.gn_cnv_null_model.restype = None
+        lib.gn_cnv_null_model.argtypes = [P, L] + [P] * 6 + \
+            [L, L, L, L, L, P, P]
+        lib.gn_cnv_scan.restype = L
+        lib.gn_cnv_scan.argtypes = [L, L] + [P] * 8 + \
+            [L, L, L, L, L, D, I, P, P, P, L]
     lib.gn_deposits_run.restype = I
     lib.gn_deposits_run.argtypes = [L] + [P] * 21 + \
         [P, P, P, ctypes.POINTER(ctypes.POINTER(DepOut))]

@@ -18,8 +18,27 @@ from contextlib import contextmanager
 from typing import Dict, Iterator, Tuple
 
 _lock = threading.Lock()
-_totals: Dict[str, Tuple[float, int]] = {}
+_totals: Dict[str, Tuple[float, float, float, int]] = {}
 _enabled = os.environ.get("GROM_TPU_TIMING", "") == "1"
+
+
+def _thread_times() -> Tuple[float, float, int]:
+    """(user, sys, minflt) of the calling thread (Linux)."""
+    try:
+        import resource
+        ru = resource.getrusage(resource.RUSAGE_THREAD)
+        return ru.ru_utime, ru.ru_stime, ru.ru_minflt
+    except (ImportError, ValueError, AttributeError):
+        return 0.0, 0.0, 0
+
+
+def _pool_acquired() -> int:
+    """Cold slab bytes acquired so far by the numpy slab pool (0 if absent)."""
+    try:
+        from grom_tpu import _hugealloc
+        return _hugealloc.stats()["acquired"]
+    except Exception:
+        return 0
 
 
 def timing_enable(on: bool = True) -> None:
@@ -38,13 +57,19 @@ def phase(label: str) -> Iterator[None]:
         yield
         return
     t0 = time.perf_counter()
+    u0, s0, f0 = _thread_times()
+    a0 = _pool_acquired()
     try:
         yield
     finally:
         dt = time.perf_counter() - t0
+        u1, s1, f1 = _thread_times()
+        a1 = _pool_acquired()
         with _lock:
-            tot, n = _totals.get(label, (0.0, 0))
-            _totals[label] = (tot + dt, n + 1)
+            tot, du, ds, df, da, n = _totals.get(label,
+                                                 (0.0, 0.0, 0.0, 0, 0, 0))
+            _totals[label] = (tot + dt, du + (u1 - u0), ds + (s1 - s0),
+                              df + (f1 - f0), da + (a1 - a0), n + 1)
 
 
 def reset() -> None:
@@ -52,15 +77,20 @@ def reset() -> None:
         _totals.clear()
 
 
-def report(file=None) -> Dict[str, Tuple[float, int]]:
-    """Print the per-phase table (seconds, calls) sorted by total time and
-    return a snapshot of it."""
+def report(file=None) -> Dict[str, Tuple[float, float, float, int]]:
+    """Print the per-phase table (wall, thread-user, thread-sys seconds,
+    calls) sorted by total wall time and return a snapshot of it."""
     with _lock:
         snap = dict(_totals)
     if _enabled and snap:
         f = file or sys.stderr
         width = max(len(k) for k in snap)
         print("== grom_tpu timing ==", file=f)
-        for k, (tot, n) in sorted(snap.items(), key=lambda kv: -kv[1][0]):
-            print("%-*s %9.3fs  x%d" % (width, k, tot, n), file=f)
+        print("%-*s %9s %9s %9s %8s %8s"
+              % (width, "", "wall", "cpu-usr", "cpu-sys", "minflt", "acq"),
+              file=f)
+        for k, (tot, du, ds, df, da, n) in sorted(snap.items(),
+                                                  key=lambda kv: -kv[1][0]):
+            print("%-*s %8.3fs %8.3fs %8.3fs %7dk %6dM  x%d"
+                  % (width, k, tot, du, ds, df // 1000, da >> 20, n), file=f)
     return snap

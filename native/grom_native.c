@@ -364,6 +364,190 @@ GN_API long gn_bam_offsets(const uint8_t *data, long start, long end,
     return R;
 }
 
+/* ------------------------------------------------------------------ */
+/* Batch building (cigar walk)                                        */
+/* ------------------------------------------------------------------ */
+
+/* Count M-spans (M/=/X ops) of kept reads — exact sizing for
+ * gn_batch_build's span outputs. */
+GN_API long gn_batch_count_spans(const uint32_t *cigar,
+                                 const int64_t *cigar_off,
+                                 const uint8_t *keep, long R) {
+    long n = 0;
+    for (long i = 0; i < R; i++) {
+        if (!keep[i])
+            continue;
+        for (int64_t j = cigar_off[i]; j < cigar_off[i + 1]; j++) {
+            uint32_t op = cigar[j] & 0xF;
+            if (op == 0 || op == 7 || op == 8)
+                n++;
+        }
+    }
+    return n;
+}
+
+/* One-pass cigar walk replacing the vectorized numpy version in
+ * ingest/batches.py (behavioral spec: the reference's per-read CIGAR
+ * handling, src/GROM.c:7067-7105 clips, :7210-7421 indels, :6605-6664
+ * M spans). Fills per-read clip/indel adjustments and the flat M-span
+ * table (spans of kept reads only, record/cigar order). Returns the
+ * span count written. */
+GN_API long gn_batch_build(const uint32_t *cigar, const int64_t *cigar_off,
+                           const int32_t *pos, const uint8_t *keep, long R,
+                           int64_t *start_adj, int64_t *end_adj,
+                           int64_t *end_adj_indel,
+                           int32_t *span_read, int64_t *span_ref,
+                           int64_t *span_readoff, int64_t *span_len) {
+    long s = 0;
+    for (long i = 0; i < R; i++) {
+        int64_t lo = cigar_off[i], hi = cigar_off[i + 1];
+        int64_t ref_off = 0, read_off = 0, eai = 0;
+        int64_t sadj = 0, eadj = 0;
+        int kp = keep[i];
+        for (int64_t j = lo; j < hi; j++) {
+            uint32_t c = cigar[j];
+            uint32_t op = c & 0xF;
+            int64_t len = c >> 4;
+            switch (op) {
+            case 0: case 7: case 8:              /* M, =, X */
+                if (kp) {
+                    span_read[s] = (int32_t)i;
+                    span_ref[s] = (int64_t)pos[i] + ref_off;
+                    span_readoff[s] = read_off;
+                    span_len[s] = len;
+                    s++;
+                }
+                ref_off += len;
+                read_off += len;
+                break;
+            case 1:                              /* I */
+                read_off += len;
+                eai += len;
+                break;
+            case 2:                              /* D */
+                ref_off += len;
+                eai -= len;
+                break;
+            case 3:                              /* N */
+                ref_off += len;
+                break;
+            case 4:                              /* S */
+                read_off += len;
+                if (j == lo)
+                    sadj = len;
+                if (j == hi - 1)
+                    eadj = len;
+                break;
+            case 5:                              /* H */
+                if (j == lo)
+                    sadj = len;
+                if (j == hi - 1)
+                    eadj = len;
+                break;
+            default:
+                break;                           /* P: consumes nothing */
+            }
+        }
+        start_adj[i] = sadj;
+        end_adj[i] = eadj;
+        end_adj_indel[i] = eai;
+    }
+    return s;
+}
+
+/* Streaming insert-size sample collector (src/GROM.c:1205-1318 semantics).
+ * Consumes records in data[start:end) in order, appending to the caller's
+ * sample buffers until sample_cap. Per record (FUNMAP/FDUP excluded):
+ * unpaired reads contribute lseq, paired reads contribute tlen when (mate
+ * mapped, same tid, pos<mpos, proper pair, tlen>0). mapped_bases counts
+ * lseq of usable mapq>=min_mapq records up to the sample-filling record
+ * (or all records when the sample never fills) — the reference's
+ * g_mapped_reads. State carried across windows via the io[] array:
+ *   io[0]=n_samples io[1]=mapped_bases io[2]=pending_bases io[3]=done flag.
+ * Returns the flat offset after the last complete record consumed. */
+GN_API long gn_insert_scan(const uint8_t *data, long start, long end,
+                           int32_t *inserts, int32_t *lseqs, long sample_cap,
+                           int min_mapq, int64_t *io) {
+    long off = start;
+    long n = io[0];
+    int64_t mapped = io[1], pending = io[2];
+    while (off + 4 <= end) {
+        uint32_t bs = rd_u32(data + off);
+        if (off + 4 + (long)bs > end)
+            break;
+        const uint8_t *r = data + off + 4;
+        off += 4 + bs;
+        uint16_t flag = rd_u16(r + 14);
+        int32_t ls = rd_i32(r + 16);
+        int usable = !(flag & 0x4) && !(flag & 0x400);
+        if (usable && r[9] >= min_mapq)
+            pending += ls;
+        if (n >= sample_cap)
+            continue;
+        int contributes = 0;
+        int32_t ins = 0;
+        if (usable && !(flag & 0x1)) {          /* unpaired */
+            contributes = 1;
+            ins = ls;
+        } else if (usable && (flag & 0x1) && !(flag & 0x8)) {
+            int32_t refid = rd_i32(r), mrefid = rd_i32(r + 20);
+            int32_t pos = rd_i32(r + 4), mpos = rd_i32(r + 24);
+            int32_t tlen = rd_i32(r + 28);
+            if (refid == mrefid && pos < mpos && (flag & 0x2) && tlen > 0) {
+                contributes = 1;
+                ins = tlen;
+            }
+        }
+        if (contributes) {
+            inserts[n] = ins;
+            lseqs[n] = ls;
+            n++;
+            mapped += pending;
+            pending = 0;
+            if (n >= sample_cap) {
+                io[3] = 1;                       /* sample full: stop early */
+                break;
+            }
+        }
+    }
+    io[0] = n;
+    io[1] = mapped;
+    io[2] = pending;
+    return off;
+}
+
+/* Fixed-fields-only decode in ONE pass: fills refid/pos/mapq/flag/mrefid/
+ * mpos/tlen/lseq and skips every ragged payload (cigar/seq/qual/names/aux).
+ * This is the insert-size estimator's decode (src/GROM.c:1205-1318 streams
+ * the same eight fields) at ~5x less memory traffic than a full decode.
+ * Returns the record count, -1 on malformed input, -2 when cap is too
+ * small (caller re-sizes and retries). */
+GN_API long gn_bam_fixed(const uint8_t *data, long start, long end,
+                         int32_t *refid, int32_t *pos, uint8_t *mapq,
+                         uint16_t *flag, int32_t *mrefid, int32_t *mpos,
+                         int32_t *tlen, int32_t *lseq, long cap) {
+    long off = start, R = 0;
+    while (off + 4 <= end) {
+        uint32_t bs = rd_u32(data + off);
+        if (off + 4 + (long)bs > end)
+            break;
+        if (R >= cap)
+            return -2;
+        const uint8_t *r = data + off + 4;
+        refid[R] = rd_i32(r);
+        pos[R] = rd_i32(r + 4);
+        mapq[R] = r[9];
+        flag[R] = rd_u16(r + 14);
+        lseq[R] = rd_i32(r + 16);
+        mrefid[R] = rd_i32(r + 20);
+        mpos[R] = rd_i32(r + 24);
+        tlen[R] = rd_i32(r + 28);
+        R++;
+        off += 4 + bs;
+    }
+    return R;
+}
+
 typedef struct {
     const uint8_t *data;
     const int64_t *rec_off;
