@@ -497,12 +497,15 @@ class DepositsSession:
         # retain inserted-sequence sources: reads with any I op (the only
         # reads whose bytes the typed state can reference later)
         elig_b = eligible.astype(bool)
-        ops = (reads.cigar & 0xF)
-        n_ops = np.diff(reads.cigar_off)
-        has_ins = np.zeros(R, bool)
-        from grom_tpu.ingest.bam import CINS
-        ins_reads = np.unique(np.repeat(np.arange(R), n_ops)[ops == CINS])
-        has_ins[ins_reads] = True
+        if batch.has_ins is not None:
+            has_ins = batch.has_ins.astype(bool)
+        else:
+            ops = (reads.cigar & 0xF)
+            n_ops = np.diff(reads.cigar_off)
+            has_ins = np.zeros(R, bool)
+            from grom_tpu.ingest.bam import CINS
+            ins_reads = np.unique(np.repeat(np.arange(R), n_ops)[ops == CINS])
+            has_ins[ins_reads] = True
         for i in np.flatnonzero(has_ins & elig_b):
             s0, s1 = int(reads.seq_off[i]), int(reads.seq_off[i + 1])
             self._indel_seqs[self.read_base + int(i)] = \

@@ -157,11 +157,14 @@ def run(cfg: GromConfig, file_date: Optional[str] = None,
             if os.environ.get("GROM_TPU_STRICT") == "1":
                 raise
             engine = "host"
-    info = fasta_mod.index_fasta(cfg.ref_fasta)
+    with phase("ingest.fasta_index"):
+        info = fasta_mod.index_fasta(cfg.ref_fasta)
     streaming = os.path.exists(cfg.bam + ".bai")
     reads = None
+    prefetch: Dict[Tuple[int, int, int], object] = {}
     if streaming:
         header = bam_mod.read_bam_header(cfg.bam)
+        _start_first_chunk_prefetch(cfg, header, info, prefetch)
         with phase("ingest.insert_stats"):
             ins = _streaming_insert_stats(cfg, header)
     else:
@@ -177,9 +180,10 @@ def run(cfg: GromConfig, file_date: Optional[str] = None,
     print("median read length: %d" % drv.read_len)
     print("mappable genome length: %d" % info.mappable_length, flush=True)
 
-    mq_table = binom.build_mq_table(cfg.min_mapq if cfg.min_mapq > 10 else 10,
-                                    cfg.max_trials)
-    hez_table = binom.build_hez_table(cfg.max_trials)
+    with phase("stats.tables"):
+        mq_table = binom.build_mq_table(
+            cfg.min_mapq if cfg.min_mapq > 10 else 10, cfg.max_trials)
+        hez_table = binom.build_hez_table(cfg.max_trials)
 
     prelude = None
     if not cfg.vcf_output:
@@ -209,6 +213,12 @@ def run(cfg: GromConfig, file_date: Optional[str] = None,
             # big chromosome: bounded-memory chunked streaming (reads are
             # fetched per 32Mb genome chunk, never held whole)
             def fetch(t0, t1, _r=refid):
+                hit = prefetch.pop((_r, t0, t1), None)
+                if hit is not None:
+                    ev, slot = hit
+                    ev.wait()
+                    if "reads" in slot:
+                        return slot["reads"]
                 return bam_mod.read_bam_region(cfg.bam, _r, t0, t1)[1]
             res = call_chromosome_streamed(chrom, refid, fa_name.lower(),
                                            cfg, drv, mq_table, hez_table,
@@ -236,7 +246,58 @@ def run(cfg: GromConfig, file_date: Optional[str] = None,
                               file_date)
     print("Translocations after filter: %d" % n_bnd, flush=True)
     report()
+    from grom_tpu.utils.timing import timing_enabled
+    if timing_enabled():
+        try:
+            import sys as _sys
+
+            from grom_tpu import _PREHEAT, _hugealloc
+            print("hugealloc: %s  preheat_alive=%s" %
+                  (_hugealloc.stats(),
+                   _PREHEAT.thread.is_alive() if _PREHEAT.thread else None),
+                  file=_sys.stderr)
+        except Exception:
+            pass
     return RunResult(cfg.out_vcf, ctx_path, n_records, ins)
+
+
+def _start_first_chunk_prefetch(cfg: GromConfig, header, info,
+                                out: Dict) -> None:
+    """Decode the first eligible chromosome's first chunk on a background
+    thread, concurrently with insert estimation — otherwise it is the first
+    serial step after it (both read the same cached BGZF source; reader and
+    pools are thread-safe). The streamed driver's fetch() consumes it via
+    the (refid, t0, t1) key; a miss just decodes normally."""
+    import threading
+    for refid, bam_name in enumerate(header.ref_names):
+        fa_name = fasta_mod.match_chromosome(bam_name, info.names)
+        if fa_name is None:
+            continue
+        if fasta_mod.is_chry(fa_name) and cfg.gender == 0:
+            continue
+        break
+    else:
+        return
+    L = int(header.ref_lengths[refid])
+    C = int(os.environ.get("GROM_TPU_CHUNK_BASES", str(32 << 20)))
+    t1 = min(C, L)
+    ev = threading.Event()
+    slot: Dict[str, object] = {}
+
+    def work():
+        try:
+            from grom_tpu.utils.timing import phase
+            with phase("ingest.read_bam"):
+                slot["reads"] = bam_mod.read_bam_region(cfg.bam, refid, 0,
+                                                        t1)[1]
+        except Exception:
+            slot.pop("reads", None)
+        finally:
+            ev.set()
+
+    threading.Thread(target=work, daemon=True,
+                     name="grom-prefetch0").start()
+    out[(refid, 0, t1)] = (ev, slot)
 
 
 def _chromosome_stream(cfg: GromConfig, header, info, jobs, reads,

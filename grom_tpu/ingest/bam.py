@@ -600,9 +600,16 @@ def find_bai(path: str) -> Optional[str]:
 # re-reading + re-scanning the compressed source each call costs ~1s per
 # fetch on WGS-scale files. One entry: pipelines work one BAM at a time.
 _READER_CACHE: Dict[Tuple[str, float, int], tuple] = {}
+import threading as _threading  # noqa: E402
+_READER_LOCK = _threading.Lock()
 
 
 def _cached_reader(path: str, bai_path: str):
+    with _READER_LOCK:
+        return _cached_reader_locked(path, bai_path)
+
+
+def _cached_reader_locked(path: str, bai_path: str):
     st = os.stat(path)
     key = (os.path.abspath(path), st.st_mtime, st.st_size)
     hit = _READER_CACHE.get(key)

@@ -59,6 +59,7 @@ class ReadBatch:
     span_readoff: np.ndarray    # int32 read-base offset (cdp_snv_base at span start)
     span_len: np.ndarray        # int32 span length
     reads: RawReads = None      # backing store (seq/qual/names access)
+    has_ins: Optional[np.ndarray] = None  # uint8 [R]: any I op in the cigar
 
 
 def classify_svtype(flag: np.ndarray, chr_eq_mchr: np.ndarray,
@@ -145,17 +146,19 @@ def _build_batch_native(reads: RawReads, keep: np.ndarray):
     span_ref = np.empty(ns, np.int64)
     span_readoff = np.empty(ns, np.int64)
     span_len = np.empty(ns, np.int64)
+    has_ins = np.empty(R, np.uint8)
     got = int(lib.gn_batch_build(
         cig.ctypes.data_as(v), coff.ctypes.data_as(v),
         pos32.ctypes.data_as(v), keep8.ctypes.data_as(v), ctypes.c_long(R),
         start_adj.ctypes.data_as(v), end_adj.ctypes.data_as(v),
         end_adj_indel.ctypes.data_as(v), span_read.ctypes.data_as(v),
         span_ref.ctypes.data_as(v), span_readoff.ctypes.data_as(v),
-        span_len.ctypes.data_as(v)))
+        span_len.ctypes.data_as(v), has_ins.ctypes.data_as(v)))
     if got != ns:
         return None
     return start_adj, end_adj, end_adj_indel, (span_read, span_ref,
-                                               span_readoff, span_len)
+                                               span_readoff, span_len), \
+        has_ins
 
 
 def build_batch(reads: RawReads, refid: int, min_mapq: int = 20,
@@ -174,7 +177,7 @@ def build_batch(reads: RawReads, refid: int, min_mapq: int = 20,
 
     native = _build_batch_native(reads, keep)
     if native is not None:
-        start_adj, end_adj, end_adj_indel, spans = native
+        start_adj, end_adj, end_adj_indel, spans, has_ins = native
         span_read, span_ref, span_readoff, span_len = spans
         return ReadBatch(
             pos=pos, mapq=reads.mapq.astype(np.int32), flag=flag,
@@ -185,6 +188,7 @@ def build_batch(reads: RawReads, refid: int, min_mapq: int = 20,
             end_adj_indel=end_adj_indel, svtype=svtype, keep=keep, add=add,
             span_read=span_read, span_ref=span_ref,
             span_readoff=span_readoff, span_len=span_len, reads=reads,
+            has_ins=has_ins,
         )
 
     # vectorized cigar walk: per-op advances

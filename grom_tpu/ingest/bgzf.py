@@ -163,6 +163,24 @@ class BgzfRandomReader:
     the reference fetches via bam_fetch, src/GROM.c:981-992)."""
 
     def __init__(self, path: str):
+        self._early = None            # pre-import inflation (grom_tpu/_earlyingest)
+        try:
+            from grom_tpu import _earlyingest
+            early = _earlyingest.take(path)
+        except Exception:
+            early = None
+        if early is not None:
+            # zero-copy views over the early thread's ctypes buffers (kept
+            # alive by self._early); the whole file is already inflated
+            self._early = early
+            self._src = np.frombuffer(early["src"], np.uint8)
+            n = early["n_blocks"]
+            self._coff = np.frombuffer(early["coff"], np.int64)[:n].copy()
+            self._uoff = np.frombuffer(early["uoff"], np.int64)[:n + 1].copy()
+            self._usize = np.diff(self._uoff)
+            self._flat = np.frombuffer(early["flat"], np.uint8)
+            return
+        self._flat = None
         from grom_tpu.native import get_lib
         if get_lib() is not None:
             self._src = _read_src(path)   # pooled array (native path only)
@@ -234,6 +252,9 @@ class BgzfRandomReader:
         lo = min(max(lo, 0), hi)
         if lo >= hi:
             return np.empty(0, np.uint8) if as_array else b""
+        if self._flat is not None:
+            view = self._flat[int(self._uoff[lo]):int(self._uoff[hi])]
+            return view if as_array else view.tobytes()
         from grom_tpu.native import get_lib
         lib = get_lib()
         total = int(self._uoff[hi] - self._uoff[lo])

@@ -28,10 +28,14 @@ _u8_p = ctypes.POINTER(ctypes.c_uint8)
 
 
 def _build() -> bool:
-    src = os.path.join(_SRC_DIR, "grom_native.c")
-    if not os.path.exists(src):
+    srcs = [os.path.join(_SRC_DIR, f) for f in
+            ("grom_native.c", "grom_deposits.c", "grom_scan.c",
+             "grom_prep.c", "grom_cnv.c")]
+    srcs = [s for s in srcs if os.path.exists(s)]
+    if not srcs:
         return False
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(src):
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= max(
+            os.path.getmtime(s) for s in srcs):
         return True
     try:
         r = subprocess.run(["make", "-C", _SRC_DIR, "-s"],
@@ -92,7 +96,7 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         lib.gn_batch_count_spans.restype = L
         lib.gn_batch_count_spans.argtypes = [P, P, P, L]
         lib.gn_batch_build.restype = L
-        lib.gn_batch_build.argtypes = [P, P, P, P, L] + [P] * 7
+        lib.gn_batch_build.argtypes = [P, P, P, P, L] + [P] * 8
     if hasattr(lib, "gn_cnv_zscores"):
         D = ctypes.c_double
         lib.gn_cnv_zscores.restype = None

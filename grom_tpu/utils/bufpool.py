@@ -69,7 +69,7 @@ class BufferPool:
         """Return one previously-taken array's raw buffer to the free list.
         The caller must drop all views of it."""
         base = a
-        while base.base is not None:
+        while isinstance(base, np.ndarray) and base.base is not None:
             base = base.base
         with self._lock:
             for i, u in enumerate(self._used):

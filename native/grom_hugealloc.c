@@ -371,6 +371,45 @@ static PyObject *py_reserve(PyObject *self, PyObject *args) {
     return PyLong_FromSize_t(sz);
 }
 
+static PyObject *py_adopt(PyObject *self, PyObject *args) {
+    /* adopt(addr, size): take ownership of an externally mmap'd anonymous
+     * range (e.g. the pre-import preheat thread's MAP_POPULATE slices —
+     * populated before numpy/this module could even be imported) and park
+     * it in the pool as a clean (zeroed, resident) slab. The range must be
+     * page-aligned private anonymous memory; it is trimmed to 2 MiB
+     * alignment. Returns the number of bytes adopted (0 if rejected). */
+    Py_ssize_t addr, size;
+    (void)self;
+    if (!PyArg_ParseTuple(args, "nn", &addr, &size))
+        return NULL;
+    uintptr_t base = ((uintptr_t)addr + SLAB_ALIGN - 1)
+                     & ~(uintptr_t)(SLAB_ALIGN - 1);
+    size_t head = base - (uintptr_t)addr;
+    if ((size_t)size <= head + SLAB_ALIGN)
+        return PyLong_FromSize_t(0);
+    size_t sz = ((size_t)size - head) & ~(SLAB_ALIGN - 1);
+    if (head)
+        munmap((void *)addr, head);
+    if ((size_t)size - head - sz)
+        munmap((char *)base + sz, (size_t)size - head - sz);
+    pthread_mutex_lock(&G.lock);
+    int ok = (G.nfree < MAX_FREE && G.pooled + sz <= G.pool_cap);
+    if (ok) {
+        G.freelist[G.nfree].ptr = (void *)base;
+        G.freelist[G.nfree].size = sz;
+        G.freelist[G.nfree].clean = 1;
+        G.nfree++;
+        G.pooled += sz;
+        G.acquired += sz;
+    }
+    pthread_mutex_unlock(&G.lock);
+    if (!ok) {
+        munmap((void *)base, sz);
+        return PyLong_FromSize_t(0);
+    }
+    return PyLong_FromSize_t(sz);
+}
+
 static PyObject *py_trim(PyObject *self, PyObject *args) {
     (void)self; (void)args;
     pthread_mutex_lock(&G.lock);
@@ -393,6 +432,9 @@ static PyMethodDef methods[] = {
     {"reserve", py_reserve, METH_VARARGS,
      "reserve(nbytes, chunk=64MiB): pre-acquire touched memory into the "
      "pool (run from a background thread; the touch releases the GIL)."},
+    {"adopt", py_adopt, METH_VARARGS,
+     "adopt(addr, size): park an external anonymous mmap range in the pool "
+     "as a clean resident slab."},
     {"trim", py_trim, METH_NOARGS, "munmap every pooled free slab."},
     {NULL, NULL, 0, NULL},
 };

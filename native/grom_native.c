@@ -397,13 +397,15 @@ GN_API long gn_batch_build(const uint32_t *cigar, const int64_t *cigar_off,
                            int64_t *start_adj, int64_t *end_adj,
                            int64_t *end_adj_indel,
                            int32_t *span_read, int64_t *span_ref,
-                           int64_t *span_readoff, int64_t *span_len) {
+                           int64_t *span_readoff, int64_t *span_len,
+                           uint8_t *has_ins) {
     long s = 0;
     for (long i = 0; i < R; i++) {
         int64_t lo = cigar_off[i], hi = cigar_off[i + 1];
         int64_t ref_off = 0, read_off = 0, eai = 0;
         int64_t sadj = 0, eadj = 0;
         int kp = keep[i];
+        has_ins[i] = 0;
         for (int64_t j = lo; j < hi; j++) {
             uint32_t c = cigar[j];
             uint32_t op = c & 0xF;
@@ -423,6 +425,7 @@ GN_API long gn_batch_build(const uint32_t *cigar, const int64_t *cigar_off,
             case 1:                              /* I */
                 read_off += len;
                 eai += len;
+                has_ins[i] = 1;
                 break;
             case 2:                              /* D */
                 ref_off += len;

@@ -29,8 +29,12 @@ typedef struct {
 
 enum {
     SP_L = 0, SP_MIN_MAPQ, SP_MIN_BQ, SP_MAX_SLOTS, SP_NAME_LEN_CAP,
-    SP_LO, SP_HI, SP_FINALIZE, N_SP
+    SP_LO, SP_HI, SP_FINALIZE, SP_PARTS, N_SP
 };
+/* SP_PARTS (optional; absent/0 = both): bit0 = SNV tally, bit1 = rd lists.
+ * The threaded wrapper runs two position-gated SNV-only calls (disjoint
+ * [lo,hi) halves — no shared writes) plus one serial rd-only call (the
+ * rd span diffs straddle the split point). */
 
 /* returns 0 ok; 1 = caller must fall back (unsorted spans / cap too big) */
 GN_API int gn_snv_accumulate(
@@ -60,6 +64,9 @@ GN_API int gn_snv_accumulate(
     const int64_t lo = params[SP_LO];
     const int64_t hi = params[SP_HI] > 0 ? params[SP_HI] : L;
     const int finalize = (int)params[SP_FINALIZE];
+    const int parts = params[SP_PARTS] ? (int)params[SP_PARTS] : 3;
+    const int do_snv = parts & 1;
+    const int do_rd = parts & 2;
     if (max_slots > MAX_DEDUP_SLOTS)
         return 1;
 
@@ -71,19 +78,23 @@ GN_API int gn_snv_accumulate(
     code_of['T'] = code_of['t'] = 3;
 
     /* ring sized by the max cigar ref span among eligible spans */
-    int64_t max_span = 1;
-    for (long s = 0; s < n_span; s++)
-        if (span_len[s] > max_span)
-            max_span = span_len[s];
-    int64_t W = 1;
-    while (W < max_span + 2)
-        W <<= 1;
-    dslot *ring = (dslot *)malloc((size_t)W * sizeof(dslot));
-    if (!ring)
-        return 1;
-    for (int64_t i = 0; i < W; i++)
-        ring[i].gen = -1;
-    const int64_t wmask = W - 1;
+    dslot *ring = NULL;
+    int64_t wmask = 0;
+    if (do_snv) {
+        int64_t max_span = 1;
+        for (long s = 0; s < n_span; s++)
+            if (span_len[s] > max_span)
+                max_span = span_len[s];
+        int64_t W = 1;
+        while (W < max_span + 2)
+            W <<= 1;
+        ring = (dslot *)malloc((size_t)W * sizeof(dslot));
+        if (!ring)
+            return 1;
+        for (int64_t i = 0; i < W; i++)
+            ring[i].gen = -1;
+        wmask = W - 1;
+    }
 
     for (long s = 0; s < n_span; s++) {
         int32_t rid = span_read[s];
@@ -101,6 +112,7 @@ GN_API int gn_snv_accumulate(
         const int32_t nid = name_id[rid];
         const int nm_short = name_len[rid] < name_len_cap;
 
+        if (do_snv)
         for (int64_t j = 0; j < ln; j++) {
             const int64_t p = ref0 + j;
             if (p < 0 || p >= L || p < lo || p >= hi)
@@ -161,7 +173,7 @@ GN_API int gn_snv_accumulate(
 
         /* caf_rd_* depth lists: whole-span rule (src/GROM.c:6605-6664) —
          * deposited only when ref0 >= 0 and ref0 + ln < L (strict) */
-        if (ref0 >= 0 && ref0 + ln < L) {
+        if (do_rd && ref0 >= 0 && ref0 + ln < L) {
             int64_t s0 = ref0 < lo ? lo : ref0;
             int64_t e0 = ref0 + ln > hi ? hi : ref0 + ln;
             if (e0 > s0) {
