@@ -116,65 +116,48 @@ def measure_pipeline(fa: str, bam: str):
     return _aligned_bases(bam) / walls[1], walls[0], walls[1], n_rec
 
 
-def measure_kernel() -> float:
-    """Device pileup + SNV scoring inner-loop throughput (bases/s/chip)."""
+def measure_kernel(fa: str, bam: str) -> float:
+    """Production per-tile kernel (ops/accumulate.py tile_kernel_core — the
+    exact step every device engine dispatches) timed on REAL tiles of the
+    bench dataset's read stream. Returns aligned bases/s/chip (on-device
+    iteration; host->device transfer excluded, as in a pipelined run where
+    the next tile ships while the current one computes)."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
-    from grom_tpu.ops.pileup import (PileupEvents, SnvParams,
-                                     pileup_tile_presorted, snv_detect_tile,
-                                     span_depth_tile)
-    from grom_tpu.stats import binom
+    import __graft_entry__ as ge
+    from grom_tpu.ops.accumulate import TILE_L, tile_kernel_core
 
-    TILE = 1 << 18
-    E = 1 << 21
-    NBATCH = 2
-
-    params = SnvParams(
-        mq_table=jnp.asarray(binom.build_mq_table(20), jnp.float32),
-        hez_table=jnp.asarray(binom.build_hez_table(), jnp.float32),
-        ref_code=jnp.asarray(
-            np.random.default_rng(0).integers(0, 4, TILE), jnp.int8),
-        min_snv_ratio=0.2, min_snv=3, min_ave_bq=15.0,
-    )
-
-    def make_batch(seed):
-        r = np.random.default_rng(seed)
-        mapq = np.full(E, 60, np.int64)
-        mapq[r.random(E) < 0.02] = 10
-        ev = PileupEvents(
-            pos=jnp.asarray(np.sort(r.integers(0, TILE, E)), jnp.int32),
-            code=jnp.asarray(r.integers(0, 4, E), jnp.int8),
-            qual=jnp.asarray(r.integers(15, 40, E), jnp.int32),
-            mapq=jnp.asarray(mapq, jnp.int32),
-            is_hi=jnp.asarray(r.random(E) < 0.95),
-            counted=jnp.asarray(np.ones(E, bool)),
-            mismatch=jnp.asarray(r.random(E) < 0.01),
-            fwd=jnp.asarray(r.random(E) < 0.5),
-            pir=jnp.asarray(r.integers(0, 150, E), jnp.int32),
-        )
-        s = jnp.asarray(np.sort(r.integers(0, TILE - 400, E // 8)), jnp.int32)
-        return ev, s, s + 300, jnp.ones(E // 8, jnp.int32)
-
-    batches = [make_batch(i) for i in range(NBATCH)]
-    for b in batches:
-        jax.block_until_ready(b)
-
-    @jax.jit
-    def step(ev, ss, se, sw, params):
-        tile = pileup_tile_presorted(ev, TILE)
-        depth = span_depth_tile(ss, se, sw, TILE)
-        cand, best, ratio, bn, hez = snv_detect_tile(tile, params, depth > 0)
-        return cand.sum(), bn.sum(), depth.sum()
-
-    jax.block_until_ready(step(*batches[0], params))
-    iters = 30
+    from grom_tpu.testing.fixtures import chrom_inputs
+    d = os.path.dirname(bam)
+    ci = chrom_inputs(d)
+    tiles = []
+    statics = None
+    for t0 in (0, TILE_L, 2 * TILE_L):
+        np_args, st, ev = ge.tile_args_from_fixture(d, t0, t0 + TILE_L,
+                                                    ci=ci)
+        statics = st if statics is None else {
+            k: max(statics[k], st[k]) for k in st}
+        tiles.append((np_args, ev))
+    step = jax.jit(functools.partial(tile_kernel_core, **statics))
+    dev_tiles = []
+    bases = 0
+    for np_args, ev in tiles:
+        dev_tiles.append(tuple(jnp.asarray(a) for a in np_args))
+        bases += ev
+    # shapes may differ across tiles (pow2 caps): compile per shape once
+    for t in dev_tiles:
+        jax.block_until_ready(step(*t))
+    iters = 10
     t0 = time.time()
-    acc = None
-    for i in range(iters):
-        acc = step(*batches[i % NBATCH], params)
-    jax.block_until_ready(acc)
-    return E / ((time.time() - t0) / iters)
+    out = None
+    for _ in range(iters):
+        for t in dev_tiles:
+            out = step(*t)
+    jax.block_until_ready(out)
+    return bases * iters / (time.time() - t0)
 
 
 def main():
@@ -182,7 +165,7 @@ def main():
     e2e, cold_wall, wall, n_rec = measure_pipeline(fa, bam)
     ref, ref_live, ref_cold_wall, ref_wall = measure_reference(fa, bam)
     try:
-        kernel = measure_kernel()
+        kernel = measure_kernel(fa, bam)
     except Exception:
         kernel = 0.0
     print(json.dumps({

@@ -430,15 +430,17 @@ def _broken_double_sort(vals: np.ndarray) -> np.ndarray:
     return v[np.array(idx, dtype=np.int64)] if len(v) else v
 
 
-def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
-                   rd_hi: np.ndarray, rd_lo: np.ndarray, cfg: GromConfig,
-                   drv: DerivedConfig, ploidy: int,
-                   rng: Optional[np.random.Generator] = None,
-                   gen1000_out: Optional[List[str]] = None
-                   ) -> Tuple[List[CnvCall], List[CnvCall]]:
-    L = len(chrom)
+def _sample_distributions(chrom: np.ndarray, feats: RefFeatures,
+                          prep: CnvPrep, rd_hi: np.ndarray,
+                          rd_lo: np.ndarray, cfg: GromConfig,
+                          drv: DerivedConfig, ploidy: int,
+                          rng: Optional[np.random.Generator] = None):
+    """GC-bin depth sampling + ±2-bin merge + bin stats/thresholds
+    (src/GROM.c:18341-18640). Returns ((hi_arr, lo_arr), ave, std, nwin,
+    del_thr, dup_thr) — the distribution inputs of the z-score, null-model
+    and window-scan stages (shared by the host, native-C and device
+    engines)."""
     m = drv.insert_mean
-    W = 2 * m - 1
     depth = (rd_hi.astype(np.int32) + rd_lo.astype(np.int32))
     mq = prep.mq_mean
     gc = feats.gc_weighted
@@ -446,7 +448,6 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
     NB = cfg.num_gc_bins
     cap = cfg.sample_lists_len
     rng = rng or np.random.default_rng(0)
-
     del_thr_p = 1.0 - 0.6 / ploidy
     dup_thr_p = 1.0 + 0.6 / ploidy
 
@@ -455,7 +456,6 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
     lo_samp: List[List[int]] = [[] for _ in range(NB)]
     hi_all = np.zeros(NB, dtype=np.int64)
     lo_all = np.zeros(NB, dtype=np.int64)
-    last_low = 0
     stride = m // 2
     # vectorized fast path: stride positions, acgt gate, sticky-class
     # forward fill; bins below the reservoir cap keep samples in position
@@ -492,7 +492,8 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
                 d = int(d_v[i])
                 g = int(g_v[i])
                 cls = int(cls_v[i])
-                samp, alls = (hi_samp, hi_all) if cls == 0 else (lo_samp, lo_all)
+                samp, alls = ((hi_samp, hi_all) if cls == 0
+                              else (lo_samp, lo_all))
                 if len(samp[g]) < cap:
                     samp[g].append(d)
                 else:
@@ -510,11 +511,13 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
     lo_merged = list(lo_arr)
     for b in range(2, NB - 2):
         if 20 <= hi_n0[b] < 100:
-            ext = [hi_arr[b]] + [hi_arr[a][:hi_n0[a]] for a in range(b - 2, b + 3) if a != b]
+            ext = [hi_arr[b]] + [hi_arr[a][:hi_n0[a]]
+                                 for a in range(b - 2, b + 3) if a != b]
             allv = np.concatenate(ext)[:cap]
             hi_merged[b] = np.sort(allv)
         if 20 <= lo_n0[b] < 100:
-            ext = [lo_arr[b]] + [lo_arr[a][:lo_n0[a]] for a in range(b - 2, b + 3) if a != b]
+            ext = [lo_arr[b]] + [lo_arr[a][:lo_n0[a]]
+                                 for a in range(b - 2, b + 3) if a != b]
             allv = np.concatenate(ext)[:cap]
             lo_merged[b] = np.sort(allv)
     hi_arr, lo_arr = hi_merged, lo_merged
@@ -537,7 +540,33 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
                 del_thr[idx, b] = del_thr_p * ave[idx, b]
                 dup_thr[idx, b] = dup_thr_p * ave[idx, b]
                 if n > 1:
-                    std[idx, b] = math.sqrt(((a - ave[idx, b]) ** 2).sum() / (n - 1))
+                    std[idx, b] = math.sqrt(
+                        ((a - ave[idx, b]) ** 2).sum() / (n - 1))
+    return (hi_arr, lo_arr), ave, std, nwin, del_thr, dup_thr
+
+
+def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
+                   rd_hi: np.ndarray, rd_lo: np.ndarray, cfg: GromConfig,
+                   drv: DerivedConfig, ploidy: int,
+                   rng: Optional[np.random.Generator] = None,
+                   gen1000_out: Optional[List[str]] = None
+                   ) -> Tuple[List[CnvCall], List[CnvCall]]:
+    L = len(chrom)
+    m = drv.insert_mean
+    W = 2 * m - 1
+    depth = (rd_hi.astype(np.int32) + rd_lo.astype(np.int32))
+    mq = prep.mq_mean
+    gc = feats.gc_weighted
+    acgt = feats.acgt_weighted
+    NB = cfg.num_gc_bins
+    cap = cfg.sample_lists_len
+    rng = rng or np.random.default_rng(0)
+
+    (hi_arr, lo_arr), ave, std, nwin, del_thr, dup_thr = \
+        _sample_distributions(chrom, feats, prep, rd_hi, rd_lo, cfg, drv,
+                              ploidy, rng=rng)
+    hi_n = [len(a) for a in hi_arr]
+    lo_n = [len(a) for a in lo_arr]
 
     # ---- low_acgt_or_windows mask (src/GROM.c:18683-18750) ----
     low_acgt = np.ones(L, dtype=np.int8)

@@ -112,7 +112,6 @@ class GromConfig:
     tile_size: int = 1 << 20         # genome tile length resident per device step
     reads_per_batch: int = 16384     # padded read-batch size
     max_read_len: int = 512          # padded per-read base capacity
-    use_pallas: bool = True          # use Pallas kernels where available
     devices: Optional[int] = None    # cap device count (None = all)
 
     def replace(self, **kw) -> "GromConfig":

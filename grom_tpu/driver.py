@@ -222,8 +222,13 @@ def run(cfg: GromConfig, file_date: Optional[str] = None,
                 return bam_mod.read_bam_region(cfg.bam, _r, t0, t1)[1]
             res = call_chromosome_streamed(chrom, refid, fa_name.lower(),
                                            cfg, drv, mq_table, hez_table,
-                                           fetch, engine=engine)
+                                           fetch, engine=engine, mesh=mesh)
             if res is None:   # freak input the streaming engines rejected
+                if os.environ.get("GROM_TPU_STRICT") == "1":
+                    raise RuntimeError(
+                        "streamed path rejected chromosome %s with "
+                        "GROM_TPU_STRICT=1 (would fall back to the "
+                        "whole-chromosome path)" % fa_name)
                 _, creads = bam_mod.read_bam_region(
                     cfg.bam, refid, 0, int(header.ref_lengths[refid]))
                 sel = np.arange(len(creads.pos))
@@ -322,13 +327,11 @@ def _chromosome_stream(cfg: GromConfig, header, info, jobs, reads,
     import queue
     import threading
     q: "queue.Queue" = queue.Queue(maxsize=1)
-    # chunked streaming is the default host/tpu path: bounded memory AND
+    # chunked streaming is the default for EVERY engine: bounded memory AND
     # faster (pooled chunk buffers avoid the fresh-page tax; chunk N+1
-    # prefetches while N computes). The mesh engine consumes whole
-    # chromosomes, so it keeps the large-chromosome-only threshold.
-    default_thresh = (64 << 20) if engine == "mesh" else 0
-    stream_thresh = int(os.environ.get("GROM_TPU_STREAM_BASES",
-                                       str(default_thresh)))
+    # prefetches while N computes). The mesh engine consumes per-chunk
+    # cells with exact span clipping (parallel/pipeline.py run lo/hi).
+    stream_thresh = int(os.environ.get("GROM_TPU_STREAM_BASES", "0"))
     if os.environ.get("GROM_TPU_STREAM") == "1":
         stream_thresh = 0
 
@@ -545,7 +548,7 @@ def call_chromosome_streamed(chrom: np.ndarray, refid: int, out_name: str,
                              mq_table: np.ndarray, hez_table: np.ndarray,
                              fetch, engine: Optional[str] = None,
                              chunk_bases: Optional[int] = None,
-                             region_start: int = 0
+                             region_start: int = 0, mesh=None
                              ) -> Optional[Tuple[List[str], List[str]]]:
     """Bounded-memory per-chromosome calling: reads are fetched, decoded and
     consumed in genome-position CHUNKS (``fetch(t0, t1) -> RawReads``
@@ -569,9 +572,8 @@ def call_chromosome_streamed(chrom: np.ndarray, refid: int, out_name: str,
 
     if engine is None:
         engine = resolve_engine()
-    if engine == "mesh":
-        engine = "tpu"   # sharded accumulate is not chunk-ranged yet
-    device = engine == "tpu"
+    device = engine in ("tpu", "mesh")
+    mesh_mode = engine == "mesh"
     L = len(chrom)
     C = chunk_bases or int(os.environ.get("GROM_TPU_CHUNK_BASES",
                                           str(32 << 20)))
@@ -595,8 +597,14 @@ def call_chromosome_streamed(chrom: np.ndarray, refid: int, out_name: str,
             snv=z4, snv_lowmq=z4, bq=z0, bq_all=z0, mq=z0, mq_all=z0,
             bq_read_count=z0, mq_read_count=z0, read_count_all=z0,
             pos_in_read=z4, fstrand=z4)
-        from grom_tpu.ops.accumulate import get_accumulator
-        acc = get_accumulator()
+        if mesh_mode:
+            from grom_tpu.parallel.pipeline import (MeshAccumulator,
+                                                    get_mesh_accumulator)
+            acc = (MeshAccumulator(mesh=mesh) if mesh is not None
+                   else get_mesh_accumulator())
+        else:
+            from grom_tpu.ops.accumulate import get_accumulator
+            acc = get_accumulator()
         if acc is None:
             return None
         base_tot = np.zeros(L, np.int64)
@@ -630,11 +638,22 @@ def call_chromosome_streamed(chrom: np.ndarray, refid: int, out_name: str,
         gate_full = np.zeros(L, np.int64)
         gate_full[lo_j:hi_j] = gate
         elig_j = jbatch.keep & (jbatch.pos >= scan_start)
-        res = acc.run(chrom, jbatch, elig_j, cfg, gate_full,
-                      lo=lo_j, hi=hi_j, base_tot_out=base_tot)
-        if res is None:
-            return False
-        _, dev = res
+        if mesh_mode:
+            # sharded per-chunk accumulate: rd depth computed device-side
+            # with the all_gather'd carry, exact by span clipping at the
+            # chunk edges (parallel/pipeline.py run)
+            res = acc.run(chrom, jbatch, elig_j, cfg, gate_full,
+                          lo=lo_j, hi=hi_j, base_tot_out=base_tot,
+                          rd_out=(arr.rd_mq, arr.rd_hi, arr.rd_lo))
+            if res is None:
+                return False
+            dev = res[1]
+        else:
+            res = acc.run(chrom, jbatch, elig_j, cfg, gate_full,
+                          lo=lo_j, hi=hi_j, base_tot_out=base_tot)
+            if res is None:
+                return False
+            _, dev = res
         if dev["n"]:
             cand_parts.append(dev)
         return True
@@ -670,14 +689,21 @@ def call_chromosome_streamed(chrom: np.ndarray, refid: int, out_name: str,
                                      cfg.add_factor, cfg.rmdup)
                          if n else None)
         if n:
+            # ownership clip at BOTH edges: regional fetches are BGZF-block
+            # granular, so a chunk's decode includes slack reads past t1 —
+            # those belong to (and are re-fetched by) the next chunk, and
+            # feeding them twice also breaks the deposit engine's
+            # sorted-position guard at the seam
             i0 = int(np.searchsorted(creads.pos, t0, side="left"))
-            own = np.arange(i0, n)
-            skipped += int(np.searchsorted(creads.pos[i0:], scan_start,
+            i1 = int(np.searchsorted(creads.pos, t1, side="left")) \
+                if t1 < L else n
+            own = np.arange(i0, i1)
+            skipped += int(np.searchsorted(creads.pos[i0:i1], scan_start,
                                            side="left"))
-            if n > i0:
-                last_pos = max(last_pos, int(creads.pos[-1]))
+            if i1 > i0:
+                last_pos = max(last_pos, int(creads.pos[i1 - 1]))
             with phase("batch.build"):
-                if i0 == 0:
+                if i0 == 0 and i1 == n:
                     dep_batch = batch_all   # chunk owns every fetched read
                 else:
                     dep_batch = (build_batch(_subset_reads(creads, own),
@@ -697,9 +723,12 @@ def call_chromosome_streamed(chrom: np.ndarray, refid: int, out_name: str,
             continue
         elig = batch_all.keep & (batch_all.pos >= scan_start)
         if device:
-            with phase("scan.accumulate"):
-                scan_mod._accumulate_rd_lists(arr, batch_all, elig, cfg,
-                                              lo=t0, hi=t1)
+            if not mesh_mode:
+                # mesh mode computes the rd lists device-side (with the
+                # all_gather'd carry) inside run_device
+                with phase("scan.accumulate"):
+                    scan_mod._accumulate_rd_lists(arr, batch_all, elig, cfg,
+                                                  lo=t0, hi=t1)
             pending = (t0, t1, batch_all)
         else:
             with phase("scan.accumulate"):

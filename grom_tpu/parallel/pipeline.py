@@ -173,14 +173,28 @@ class MeshAccumulator:
         return min(_pow2(target), 1 << 18)
 
     def run(self, chrom: np.ndarray, batch, eligible: np.ndarray, cfg,
-            gate: np.ndarray):
+            gate: np.ndarray, lo: int = 0, hi: int = 0,
+            base_tot_out: Optional[np.ndarray] = None,
+            rd_out: Optional[Tuple[np.ndarray, np.ndarray,
+                                   np.ndarray]] = None):
+        """``lo``/``hi`` restrict processing to a position range — the
+        streamed chunked mode (src/GROM.c:75-78's sub-region halo,
+        re-expressed as exact span clipping at range edges). Because spans
+        are clipped to [lo, hi), each call's delta set reconstructs the
+        EXACT absolute depth over its range from zero — chunked calls need
+        no cross-call carry (every read overlapping the range is in the
+        chunk's batch; the within-call cross-launch carry still applies).
+        ``base_tot_out``/``rd_out`` accumulate into caller arrays so a
+        chromosome of any length streams through bounded chunk memory."""
         import jax.numpy as jnp
         reads = batch.reads
         if reads.name_id is None or reads.name_len is None:
             return None
         L = len(chrom)
-        seg_l = self._seg_l_for(L)
-        n_cells = -(-L // seg_l)
+        hi = hi if hi > 0 else L
+        span = hi - lo
+        seg_l = self._seg_l_for(span)
+        n_cells = -(-span // seg_l)
         n_rounds = -(-n_cells // self.n_cells_launch)
 
         sindex = SpanIndex(batch)
@@ -191,16 +205,22 @@ class MeshAccumulator:
         seq_off64 = reads.seq_off.astype(np.int64)
 
         # ---- rd endpoint delta events, owner = cell containing the pos ----
+        # spans are CLIPPED to [lo, hi) (mirroring scan._accumulate_rd_lists)
+        # so chunked calls partition every span's contribution exactly
         sel = eligible[batch.span_read]
         ref = batch.span_ref[sel].astype(np.int64)
         ln = batch.span_len[sel].astype(np.int64)
         rid = batch.span_read[sel]
         oks = (ref >= 0) & (ref + ln < L)   # whole-span rule (scan.py)
         ref, ln, rid = ref[oks], ln[oks], rid[oks]
+        s_cl = np.maximum(ref, lo)
+        e_cl = np.minimum(ref + ln, hi)
+        keep_cl = e_cl > s_cl
+        s_cl, e_cl, rid = s_cl[keep_cl], e_cl[keep_cl], rid[keep_cl]
         mq_w = batch.mapq[rid].astype(np.int32)
         hi_w = (mq_w >= cfg.min_mapq).astype(np.int8)
         lo_w = (1 - hi_w).astype(np.int8)
-        d_pos = np.concatenate([ref, ref + ln])
+        d_pos = np.concatenate([s_cl, e_cl])
         d_mq = np.concatenate([mq_w, -mq_w])
         d_hi = np.concatenate([hi_w, -hi_w])
         d_lo = np.concatenate([lo_w, -lo_w])
@@ -211,7 +231,7 @@ class MeshAccumulator:
         # ---- per-cell prep + bucket sizing --------------------------------
         cells = []
         for c in range(n_cells):
-            t0, t1 = c * seg_l, min((c + 1) * seg_l, L)
+            t0, t1 = lo + c * seg_l, min(lo + (c + 1) * seg_l, hi)
             t_read, t_ref2, t_off2, t_len = sindex.slice_range(t0, t1)
             S = len(t_len)
             if S:
@@ -241,10 +261,14 @@ class MeshAccumulator:
                                    cfg.min_base_qual, cfg.min_snv)
             self._steps[key] = step
 
-        base_tot = np.zeros(L, np.int64)
-        rd_mq = np.zeros(L, np.int64)
-        rd_hi = np.zeros(L, np.int32)
-        rd_lo = np.zeros(L, np.int32)
+        base_tot = (base_tot_out if base_tot_out is not None
+                    else np.zeros(L, np.int64))
+        if rd_out is not None:
+            rd_mq, rd_hi, rd_lo = rd_out
+        else:
+            rd_mq = np.zeros(L, np.int64)
+            rd_hi = np.zeros(L, np.int32)
+            rd_lo = np.zeros(L, np.int32)
         hist = np.zeros(HIST_BINS, np.int64)
         cand_parts: List[dict] = []
         carry = np.zeros(3, np.int64)   # cross-launch rd carry

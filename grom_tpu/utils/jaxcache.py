@@ -1,6 +1,6 @@
 """Persistent XLA compilation cache setup.
 
-The device tile kernels (ops/accumulate.py, ops/pileup.py) compile once per
+The device tile kernels (ops/accumulate.py) compile once per
 bucket shape; on TPU that compile is tens of seconds.  Because every bucket
 is a fixed power-of-two, the executables are perfectly cacheable across
 runs — enabling jax's persistent compilation cache makes every run after the

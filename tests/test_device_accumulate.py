@@ -9,6 +9,10 @@ choice cannot change them.
 """
 
 import os
+
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
 import subprocess
 import sys
 

@@ -8,6 +8,10 @@ CPU mesh (conftest forces JAX_PLATFORMS=cpu ×8).
 
 import os
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import numpy as np
 import pytest
 
@@ -99,3 +103,61 @@ def test_mesh_engine_vcf_parity(tmp_path):
                 == (tmp_path / f"{eng}.vcf").read_bytes()), eng
         assert ((tmp_path / "host.ctx.vcf").read_bytes()
                 == (tmp_path / f"{eng}.ctx.vcf").read_bytes()), eng
+
+
+def test_mesh_engine_chunked_vcf_parity(tmp_path):
+    """Chunk-ranged mesh: the streamed path with engine='mesh' and a chunk
+    size forcing MULTIPLE chunks (span clipping + per-chunk cell grids +
+    device rd depth) emits byte-identical VCFs under strict mode."""
+    import jax
+
+    from grom_tpu.driver import run
+    from grom_tpu.parallel.mesh import make_mesh
+
+    d = os.path.join(DATA, "ds200k")
+    base = GromConfig(bam=os.path.join(d, "ds.bam"),
+                      ref_fasta=os.path.join(d, "ds.fa"), out_vcf="")
+    run(base.replace(out_vcf=str(tmp_path / "host.vcf")),
+        file_date="2026725", engine="host")
+    mesh = make_mesh(4, 2, devices=jax.devices("cpu"))
+    os.environ["GROM_TPU_STRICT"] = "1"
+    os.environ["GROM_TPU_CHUNK_BASES"] = str(60_000)   # ~4 chunks
+    try:
+        run(base.replace(out_vcf=str(tmp_path / "mesh.vcf")),
+            file_date="2026725", engine="mesh", mesh=mesh)
+    finally:
+        del os.environ["GROM_TPU_STRICT"]
+        del os.environ["GROM_TPU_CHUNK_BASES"]
+    assert ((tmp_path / "host.vcf").read_bytes()
+            == (tmp_path / "mesh.vcf").read_bytes())
+    assert ((tmp_path / "host.ctx.vcf").read_bytes()
+            == (tmp_path / "mesh.ctx.vcf").read_bytes())
+
+
+@pytest.mark.slow
+def test_mesh_engine_large_chromosome(tmp_path):
+    """The VERDICT-r2 scale gate: engine='mesh' on a simulated >=100Mb
+    chromosome runs CHUNKED (the old whole-chromosome-only mesh limit is
+    gone) under GROM_TPU_STRICT with byte-identical VCF vs the host
+    engine. Low coverage keeps the wall manageable; the chunk/cell/carry
+    machinery exercised is coverage-independent."""
+    import jax
+
+    from grom_tpu.driver import run
+    from grom_tpu.parallel.mesh import make_mesh
+    from grom_tpu.testing.bulk_sim import bulk_dataset
+
+    fa, bam = bulk_dataset(str(tmp_path / "big"), 100_000_000,
+                           coverage=0.6, seed=11)
+    base = GromConfig(bam=bam, ref_fasta=fa, out_vcf="")
+    run(base.replace(out_vcf=str(tmp_path / "host.vcf")),
+        file_date="2026725", engine="host")
+    mesh = make_mesh(4, 2, devices=jax.devices("cpu"))
+    os.environ["GROM_TPU_STRICT"] = "1"
+    try:
+        run(base.replace(out_vcf=str(tmp_path / "mesh.vcf")),
+            file_date="2026725", engine="mesh", mesh=mesh)
+    finally:
+        del os.environ["GROM_TPU_STRICT"]
+    assert ((tmp_path / "host.vcf").read_bytes()
+            == (tmp_path / "mesh.vcf").read_bytes())

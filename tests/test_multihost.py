@@ -4,6 +4,10 @@ mesh on ds200k and verify every statistic against the local host engines
 (the worker does the asserts; see tests/multihost_worker.py)."""
 
 import os
+
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
 import socket
 import subprocess
 import sys

@@ -8,6 +8,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from grom_tpu.config import DerivedConfig, GromConfig
 from grom_tpu.driver import (_subset_reads, call_chromosome,
                              call_chromosome_streamed)
