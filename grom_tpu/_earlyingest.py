@@ -72,8 +72,14 @@ def _work(path: str, ev: threading.Event, after) -> None:
         src = _mmap_buf(libc, ctypes, size)
         if src is None:
             return
+        mv = memoryview(src)
+        got = 0
         with open(path, "rb", buffering=0) as f:
-            got = f.readinto(memoryview(src))
+            while got < size:       # one readinto syscall caps at ~2GB
+                n = f.readinto(mv[got:])
+                if not n:
+                    break
+                got += n
         if got != size:
             return
         cap = max(size // 1024, 64)

@@ -603,10 +603,13 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
         lo_z, hi_z = full_blocks[0]
         if hi_z > lo_z:
             nat.zscores(lo_z, hi_z, stdev_list)
+        # null-model windows are collected from the PRE-rescore z: the
+        # reference samples them inside its z loop (src/GROM.c:18975-19015)
+        # and the repeat rescore (:19018-19180) runs after
+        win_std = nat.null_model(prep.lowvar_blocks, stdev_list)
         if prep.most_biased_repeat != -1:
             _repeat_rescore(feats, prep, depth, low_acgt, acgt, stdev_list,
                             pv_p, pv_sd, cfg, m, rng)
-        win_std = nat.null_model(prep.lowvar_blocks, stdev_list)
         scan_blocks = [(m - 1, L - W)]
         dels = nat.scan(scan_blocks, stdev_list, del_thr, win_std, L, +1)
         dups = nat.scan(scan_blocks, stdev_list, dup_thr, win_std, L, -1)
@@ -726,14 +729,16 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
                      mf)
         stdev_list[bs + vi] = w * base[inv]
 
+    # ---- null window model (src/GROM.c:18975-19015, 19180-19215) ----
+    # BEFORE the repeat rescore: the reference samples its null windows
+    # inside the z loop, so win_std reflects the pre-rescore z values
+    win_std = _null_window_model(prep, depth, mq, gc, nwin, low_acgt,
+                                 stdev_list, cfg, L)
+
     # ---- repeat rescoring (src/GROM.c:19018-19180) ----
     if prep.most_biased_repeat != -1:
         _repeat_rescore(feats, prep, depth, low_acgt, acgt, stdev_list,
                         pv_p, pv_sd, cfg, m, rng)
-
-    # ---- null window model (src/GROM.c:18975-19015, 19180-19215) ----
-    win_std = _null_window_model(prep, depth, mq, gc, nwin, low_acgt,
-                                 stdev_list, cfg, L)
 
     # ---- del/dup window scans ----
     scan_blocks = [(m - 1, L - W)]
@@ -1376,8 +1381,20 @@ def call_cnv(chrom: np.ndarray, rd_hi: np.ndarray, rd_lo: np.ndarray,
              gen1000_out: Optional[List[str]] = None) -> List[str]:
     """Full CNV pipeline for one chromosome. rd_mq_sum is the raw per-base
     mapq sum (normalized to mean in here, mirroring src/GROM.c:16637).
-    When -N is set, the fixed-window CN track rows land in gen1000_out."""
-    ploidy = cfg.ploidy // 2 if (is_chrx and cfg.gender == 1) else cfg.ploidy
+    When -N is set, the fixed-window CN track rows land in gen1000_out.
+
+    NOTE (-g 1 chrX ploidy): the reference INTENDS to halve ploidy for a
+    male X (src/GROM.c:17024-17035) but the name it compares,
+    caf_bam_name, is only ever initialized inside the unreachable
+    tumor-SV block (src/GROM.c:1593, :1998-2001; no getopt flag reaches
+    g_tumor_sv_index) — at :17024 it is uninitialized stack memory, so
+    the comparison never matches and ploidy is NEVER halved in practice
+    (verified empirically: the binary's -g 1 output on a chrX chromosome
+    is byte-identical to -g 0, tests/data/cnvrich oracle.male). We
+    reproduce the shipped behavior; ``is_chrx`` is kept in the signature
+    for a future --fix-gender mode."""
+    del is_chrx  # see NOTE: the reference's halving is dead code
+    ploidy = cfg.ploidy
     feats = preprocess_reference(chrom, drv.insert_mean, cfg.min_repeat)
     prep = prep_cnv(chrom, feats, rd_hi, rd_lo, rd_mq_sum, cfg, drv)
     dels, dups = detect_del_dup(chrom, feats, prep, rd_hi, rd_lo, cfg, drv,

@@ -100,8 +100,16 @@ def _read_src(path: str) -> np.ndarray:
     from grom_tpu.utils.bufpool import POOL
     size = os.path.getsize(path)
     buf = POOL.empty(size, np.uint8)
+    mv = memoryview(buf)
+    got = 0
     with open(path, "rb", buffering=0) as f:
-        got = f.readinto(memoryview(buf))
+        # loop: a single readinto syscall is capped at ~2GB on Linux, so
+        # one call silently truncates WGS-scale BAMs
+        while got < size:
+            n = f.readinto(mv[got:])
+            if not n:
+                break
+            got += n
     if got != size:
         return buf[:got]
     return buf

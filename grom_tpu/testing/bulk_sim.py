@@ -58,7 +58,7 @@ def _vec_reg2bin(beg: np.ndarray, end: np.ndarray) -> np.ndarray:
     return out
 
 
-def _bgzf_compress_stream(f, flat: np.ndarray, level: int = 1
+def _bgzf_compress_stream(f, flat: np.ndarray, level: int = 1,
                           ) -> np.ndarray:
     """Write ``flat`` as BGZF blocks of <= _BLOCK payload bytes; returns the
     compressed offset of each block (relative to stream start)."""
@@ -91,10 +91,19 @@ def bulk_dataset(prefix: str, length: int, coverage: float = 30.0,
                  low_mapq_frac: float = 0.02,
                  hotspots: Optional[List[Tuple[int, int, float]]] = None,
                  snp_rate: float = 1e-3,
+                 depressions: Optional[List[Tuple[int, int, float]]] = None,
+                 repeats: Optional[List[Tuple[int, int, bytes]]] = None,
+                 level: int = 1,
                  chrom_name: str = "chrbulk") -> Tuple[str, str]:
     """Generate <prefix>.fa / .bam / .bam.bai. Returns (fa, bam) paths.
-    ``snp_rate`` plants het (2/3) and hom (1/3) substitution SNPs so the
-    SNV caller has real work at scale."""
+
+    ``snp_rate`` plants het (2/3) and hom (1/3) substitution SNPs.
+    ``depressions=[(s, e, keep_frac)]`` thin fragments overlapping a
+    window (deletion-like CNV signal). ``repeats=[(s, e, dimer)]`` plant
+    dinucleotide repeat runs in the reference (the CNV engine's
+    repeat-bias machinery, src/GROM.c:1727-1764 + :19018-19180).
+    ``level`` is the BGZF deflate level (1 = fast for scale runs,
+    6 = small for committed fixtures)."""
     rng = np.random.default_rng(seed)
     RL = _READ_LEN
     genome = rng.choice(_BASES, size=length).astype(np.uint8)
@@ -102,6 +111,9 @@ def bulk_dataset(prefix: str, length: int, coverage: float = 30.0,
     if length > 400_000:
         genome[1000:1600] = ord("N")
         genome[length // 2:length // 2 + 800] = ord("N")
+    for (rs, re_, dimer) in (repeats or []):
+        pat = np.frombuffer(dimer * ((re_ - rs) // 2 + 1), np.uint8)
+        genome[rs:re_] = pat[:re_ - rs]
     fa = prefix + ".fa"
     _write_fasta(fa, chrom_name, genome)
 
@@ -119,6 +131,10 @@ def bulk_dataset(prefix: str, length: int, coverage: float = 30.0,
             ph, ih = fragments(nh, hs, he)
             p = np.concatenate([p, ph])
             isz = np.concatenate([isz, ih])
+    for (ds_, de_, keep) in (depressions or []):
+        hit = (p + isz > ds_) & (p < de_)
+        drop = hit & (rng.random(len(p)) >= keep)
+        p, isz = p[~drop], isz[~drop]
     nf = len(p)
 
     # two records per fragment (read1 fwd at p, read2 rev at p+isz-RL)
@@ -231,11 +247,11 @@ def bulk_dataset(prefix: str, length: int, coverage: float = 30.0,
                 flat = flat[:cut]
             else:
                 carry = np.zeros(0, np.uint8)
-            co = _bgzf_compress_stream(f, flat)
+            co = _bgzf_compress_stream(f, flat, level)
             coff_parts.append(co[:-1] + base)
             base += int(co[-1])
         if len(carry):
-            co = _bgzf_compress_stream(f, carry)
+            co = _bgzf_compress_stream(f, carry, level)
             coff_parts.append(co[:-1] + base)
             base += int(co[-1])
         f.write(BGZF_EOF)
