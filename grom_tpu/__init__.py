@@ -91,15 +91,14 @@ class _Preheat:
         if not sys.platform.startswith("linux"):
             return None
         env = os.environ.get("GROM_TPU_PREHEAT", "")
-        if env == "0":
+        if env in ("", "0"):
+            # OFF by default since the cross-process shm warm pool landed:
+            # with warm slabs one mmap away, the preheat thread's probe +
+            # populate only COMPETE with the pipeline's own allocations
+            # for the host's page-supply rate (measured +4.6s end-to-end
+            # on a supply-constrained host). Opt in with =1/=<bytes> for
+            # cold single-shot runs on idle wide hosts.
             return None
-        if not env:
-            # default-on only for CLI runs (python -m grom_tpu / bin/grom):
-            # a library import should not grab gigabytes on its own
-            a0 = (sys.argv[0] or "").rsplit("/", 1)[-1]
-            if not (a0 in ("__main__.py", "grom", "grom_tpu")
-                    or "-i" in sys.argv):
-                return None
         try:
             libc = ctypes.CDLL(None, use_errno=True)
             libc.mmap.restype = ctypes.c_void_p
@@ -109,9 +108,16 @@ class _Preheat:
             libc.munmap.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
         except (OSError, AttributeError):
             return None
+        # acquire only what the pipeline actually carves (bench live_max
+        # ~1.5GB): every EXTRA preheated byte competes with the pipeline's
+        # own populate calls for the host's page-supply rate — on a
+        # supply-constrained host an oversized preheat ADDS seconds
+        # (measured: 2.75GB preheat vs 1.5GB demand cost ~10s of ingest
+        # stall). The former 1GB populate+munmap "prime" tranche is gone
+        # for the same reason.
         adopt_target = int(env) if env.isdigit() and int(env) > 1 \
-            else (7 << 28)             # 1.75 GB ~ measured pool live_max
-        prime_target = 1 << 30         # 1 GB for the non-pool heap
+            else (5 << 28)             # 1.25 GB
+        prime_target = 0
         self.installed = threading.Event()
 
         def work():
@@ -238,7 +244,31 @@ def _install_hugealloc() -> None:
         except Exception:
             return
     try:
-        _hugealloc.install()
+        # pool cap: enough to keep a WGS-scale working set's slabs warm —
+        # a cap far below live_max causes eviction churn (measured: a 250Mb
+        # run with the old 6GB cap re-acquired 202GB of slabs). Half of
+        # physical RAM, floor 6GB.
+        cap = 6 << 30
+        try:
+            import os as _os
+            pages = _os.sysconf("SC_PHYS_PAGES")
+            psize = _os.sysconf("SC_PAGE_SIZE")
+            cap = max(cap, pages * psize // 2)
+        except (ValueError, OSError, AttributeError):
+            pass
+        # cross-process warm pool: slabs carve a /dev/shm file whose pages
+        # survive process exit — repeat runs re-map warm memory (~0.04
+        # s/GiB) instead of re-acquiring from the host (~1-10 s/GiB on
+        # sandboxed kernels). Exclusive-locked; concurrent pipelines fall
+        # back to anonymous slabs. GROM_TPU_SHM_POOL=0 disables, =N caps.
+        shm_env = os.environ.get("GROM_TPU_SHM_POOL", "")
+        if shm_env == "0":
+            shm_cap = 0
+        elif shm_env.isdigit():
+            shm_cap = int(shm_env)
+        else:
+            shm_cap = 4 << 30
+        _hugealloc.install(pool_cap=cap, shm_cap=shm_cap)
         if _PREHEAT.installed is not None:
             _PREHEAT.installed.set()
             _PREHEAT._drain()

@@ -569,20 +569,29 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
     lo_n = [len(a) for a in lo_arr]
 
     # ---- low_acgt_or_windows mask (src/GROM.c:18683-18750) ----
+    # chunked: the int64 temporaries here would otherwise cost ~30B/base
+    # at once (8GB transient on a 250Mb chromosome); the sticky class
+    # carries across chunks via its last value
     low_acgt = np.ones(L, dtype=np.int8)
     scan_lo, scan_hi = m - 1, L - W
-    if scan_hi > scan_lo:
-        pos_r = np.arange(scan_lo, scan_hi)
-        ok_acgt = acgt[pos_r] >= 99
+    carry_cls = 0
+    CHK = 16 << 20
+    for c0 in range(scan_lo, max(scan_hi, scan_lo), CHK):
+        c1 = min(c0 + CHK, scan_hi)
+        if c1 <= c0:
+            break
+        sl_r = slice(c0, c1)
+        ok_acgt = acgt[sl_r] >= 99
         # sticky class: the reference updates last_low ONLY at positions
         # passing the acgt gate (src/GROM.c:18691-18706) — positions below
         # the gate neither read nor advance the class state
-        def_cls = np.where(mq[pos_r] >= cfg.min_mapq, 0,
-                           np.where(depth[pos_r] > 0, 1, -1))
-        def_cls = np.where(ok_acgt, def_cls, -1)
-        cls_ff = _sticky_ffill(def_cls, 0)
-        nwin_at = nwin[cls_ff, gc[pos_r]]
-        low_acgt[scan_lo:scan_hi] = np.where(ok_acgt & (nwin_at >= 100), 0, 1)
+        def_cls = np.where(mq[sl_r] >= cfg.min_mapq, 0,
+                           np.where(depth[sl_r] > 0, 1, -1))
+        def_cls = np.where(ok_acgt, def_cls, -1).astype(np.int8)
+        cls_ff = _sticky_ffill(def_cls, carry_cls)
+        carry_cls = int(cls_ff[-1]) if len(cls_ff) else carry_cls
+        nwin_at = nwin[cls_ff, gc[sl_r]]
+        low_acgt[sl_r] = np.where(ok_acgt & (nwin_at >= 100), 0, 1)
 
     # ---- per-base z-scores (src/GROM.c:18770-18965) ----
     # NOTE: the z loop runs over g_lowvar_block_* which main RESET to the
@@ -597,6 +606,38 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
     # native fast path (native/grom_cnv.c): bit-identical C ports of the
     # z-score, null-model and window-scan stages below; the numpy code
     # remains the differential oracle (tests/test_native_cnv.py)
+    import os as _os
+    if _os.environ.get("GROM_TPU_DEVICE_CNV") == "1":
+        # device (jax) z-scores + window scans (ops/cnv_device.py) — the
+        # SURVEY §7.4 prefix-sum-pyramid formulation; bit-identical to the
+        # host path under jax x64 (tests/test_cnv_device.py). The null
+        # model + rescore + copy number stay host-side.
+        from grom_tpu.ops import cnv_device
+        lo_z, hi_z = full_blocks[0]
+        if hi_z > lo_z:
+            mat, lens = cnv_device.build_bin_matrix(hi_arr, lo_arr, NB)
+            stdev_list = cnv_device.zscores_device(
+                depth, mq, gc, low_acgt, mat, lens, ave, std, pv_p, pv_sd,
+                NB, lo_z, hi_z, cfg.min_mapq, cfg.mapq_factor,
+                cfg.dup_threshold_factor, cfg.ranks_stdev != 0)
+        win_std = _null_window_model(prep, depth, mq, gc, nwin, low_acgt,
+                                     stdev_list, cfg, L)
+        if prep.most_biased_repeat != -1:
+            _repeat_rescore(feats, prep, depth, low_acgt, acgt, stdev_list,
+                            pv_p, pv_sd, cfg, m, rng)
+        scan_blocks = [(m - 1, L - W)]
+        dels = cnv_device.window_scan_device(
+            scan_blocks, depth, mq, gc, nwin, low_acgt, stdev_list,
+            del_thr, win_std, cfg, L, +1)
+        dups = cnv_device.window_scan_device(
+            scan_blocks, depth, mq, gc, nwin, low_acgt, stdev_list,
+            dup_thr, win_std, cfg, L, -1)
+        _copy_number(dels, dups, depth, mq, gc, low_acgt, ave, ploidy, cfg)
+        if gen1000_out is not None and cfg.gen1000_window > 0:
+            gen1000_out.extend(_gen1000_track(depth, mq, gc, low_acgt, ave,
+                                              ploidy, cfg, L))
+        return dels, dups
+
     nat = _native_cnv_ctx(hi_arr, lo_arr, depth, mq, gc, low_acgt, ave, std,
                           pv_p, pv_sd, NB, cfg)
     if nat is not None:

@@ -112,19 +112,6 @@ def _device_link_fast(min_mb_s: float = 100.0) -> bool:
     return _LINK_FAST
 
 
-def _start_prefault(bam_path: str) -> None:
-    """Warm heap pages ahead of the compute phases on expensive-fault
-    kernels (see utils/prefault.py); no-op elsewhere."""
-    try:
-        size = os.path.getsize(bam_path)
-    except OSError:
-        size = 0
-    cap = int(os.environ.get("GROM_TPU_PREFAULT_MAX", str(3 << 30)))
-    target = min(cap, max(2 << 30, 5 * size))
-    from grom_tpu.utils import prefault
-    prefault.maybe_start(target)
-
-
 def run(cfg: GromConfig, file_date: Optional[str] = None,
         engine: Optional[str] = None, mesh=None) -> RunResult:
     """Single-host run (the reference's serial mode). With -c
@@ -134,7 +121,7 @@ def run(cfg: GromConfig, file_date: Optional[str] = None,
     (regional fetches), so peak memory is one chromosome's reads — the
     streaming analogue of the reference's per-chromosome bam_fetch
     (src/GROM.c:20826+). Without an index the whole BAM is decoded once."""
-    _start_prefault(cfg.bam)
+
     if cfg.one_chromosome:
         return run_child_region(cfg)
     from grom_tpu.utils.timing import phase, report
@@ -274,6 +261,8 @@ def _start_first_chunk_prefetch(cfg: GromConfig, header, info,
     pools are thread-safe). The streamed driver's fetch() consumes it via
     the (refid, t0, t1) key; a miss just decodes normally."""
     import threading
+    if _sync_ingest():
+        return                      # narrow host: no ingest worker threads
     for refid, bam_name in enumerate(header.ref_names):
         fa_name = fasta_mod.match_chromosome(bam_name, info.names)
         if fa_name is None:
@@ -303,6 +292,19 @@ def _start_first_chunk_prefetch(cfg: GromConfig, header, info,
     threading.Thread(target=work, daemon=True,
                      name="grom-prefetch0").start()
     out[(refid, 0, t1)] = (ev, slot)
+
+
+def _sync_ingest() -> bool:
+    """True = run ingest inline on the calling thread instead of producer
+    threads. On <=2-vCPU hosts the decode's own worker pthreads already
+    fill the machine; extra producer threads only add oversubscription,
+    which degraded-host schedulers punish hard (measured: the same fetch
+    3x slower on a worker thread than on the main thread). Override with
+    GROM_TPU_SYNC_INGEST=0/1."""
+    env = os.environ.get("GROM_TPU_SYNC_INGEST", "")
+    if env in ("0", "1"):
+        return env == "1"
+    return (os.cpu_count() or 1) <= 2
 
 
 def _chromosome_stream(cfg: GromConfig, header, info, jobs, reads,
@@ -335,21 +337,28 @@ def _chromosome_stream(cfg: GromConfig, header, info, jobs, reads,
     if os.environ.get("GROM_TPU_STREAM") == "1":
         stream_thresh = 0
 
+    def produce_one(refid, fa_name):
+        if int(header.ref_lengths[refid]) > stream_thresh:
+            # big chromosome: the consumer fetches reads chunk-wise
+            chrom = fasta_mod.load_chromosome(cfg.ref_fasta, info, fa_name)
+            return (refid, fa_name, None, chrom)
+        with phase("ingest.read_bam"):
+            _, creads = bam_mod.read_bam_region(
+                cfg.bam, refid, 0, int(header.ref_lengths[refid]))
+            chrom = fasta_mod.load_chromosome(cfg.ref_fasta, info, fa_name)
+        return (refid, fa_name, creads, chrom)
+
+    if _sync_ingest():
+        for refid, fa_name in jobs:
+            refid, fa_name, creads, chrom = produce_one(refid, fa_name)
+            sel = np.arange(len(creads.pos)) if creads is not None else None
+            yield refid, fa_name, creads, sel, chrom
+        return
+
     def producer():
         try:
             for refid, fa_name in jobs:
-                if int(header.ref_lengths[refid]) > stream_thresh:
-                    # big chromosome: the consumer fetches reads chunk-wise
-                    chrom = fasta_mod.load_chromosome(cfg.ref_fasta, info,
-                                                      fa_name)
-                    q.put((refid, fa_name, None, chrom))
-                    continue
-                with phase("ingest.read_bam"):
-                    _, creads = bam_mod.read_bam_region(
-                        cfg.bam, refid, 0, int(header.ref_lengths[refid]))
-                    chrom = fasta_mod.load_chromosome(cfg.ref_fasta, info,
-                                                      fa_name)
-                q.put((refid, fa_name, creads, chrom))
+                q.put(produce_one(refid, fa_name))
             q.put(None)
         except BaseException as exc:  # surface decode errors to the consumer
             q.put(exc)
@@ -665,6 +674,7 @@ def call_chromosome_streamed(chrom: np.ndarray, refid: int, out_name: str,
     import threading
     chunk_q: "queue.Queue" = queue.Queue(maxsize=1)
     ranges = [(t0, min(t0 + C, L)) for t0 in range(0, L, C)]
+    sync = _sync_ingest()
 
     def chunk_producer():
         try:
@@ -674,12 +684,17 @@ def call_chromosome_streamed(chrom: np.ndarray, refid: int, out_name: str,
         except BaseException as exc:
             chunk_q.put(exc)
 
-    prod = threading.Thread(target=chunk_producer, name="grom-chunk-ingest",
-                            daemon=True)
-    prod.start()
+    if not sync:
+        prod = threading.Thread(target=chunk_producer,
+                                name="grom-chunk-ingest", daemon=True)
+        prod.start()
 
-    for _ in ranges:
-        item = chunk_q.get()
+    for rng in ranges:
+        if sync:
+            with phase("ingest.read_bam"):
+                item = (rng[0], rng[1], fetch(rng[0], rng[1]))
+        else:
+            item = chunk_q.get()
         if isinstance(item, BaseException):
             raise item
         t0, t1, creads = item

@@ -152,3 +152,23 @@ def test_device_zscores_match_host():
             m - 1, L - W, cfg.min_mapq, cfg.mapq_factor,
             cfg.dup_threshold_factor, cfg.ranks_stdev != 0)
     assert np.array_equal(z_dev, captured["z"])
+
+
+def test_device_cnv_env_flag(tmp_path):
+    """GROM_TPU_DEVICE_CNV=1 routes detect_del_dup through the device
+    kernels end-to-end with identical calls (x64)."""
+    ctx = _x64()
+    from grom_tpu.call import cnv as cnv_mod
+    from tests.test_native_cnv import _calls, _cnv_inputs
+
+    chrom, arr, cfg, drv = _cnv_inputs("ds200k")
+    do, po = _calls(chrom, arr, cfg, drv, native=False)
+    os.environ["GROM_TPU_DEVICE_CNV"] = "1"
+    try:
+        with ctx:
+            dd, pd = _calls(chrom, arr, cfg, drv, native=True)
+    finally:
+        del os.environ["GROM_TPU_DEVICE_CNV"]
+    for dev, host in ((dd, do), (pd, po)):
+        assert [(c.start, c.end, c.stdev, c.cn) for c in dev] == \
+            [(c.start, c.end, c.stdev, c.cn) for c in host]
