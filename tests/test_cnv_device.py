@@ -13,6 +13,19 @@ pytestmark = pytest.mark.slow
 DATA = os.path.join(os.path.dirname(__file__), "data")
 
 
+import contextlib
+
+
+@pytest.fixture(autouse=True)
+def _restore_x64():
+    """jax_enable_x64 is process-global; leaking it breaks the f32 mesh
+    tests that run later in the same session."""
+    import jax
+    prev = jax.config.read("jax_enable_x64")
+    yield
+    jax.config.update("jax_enable_x64", prev)
+
+
 def _x64():
     """x64 + CPU default device. The harness's TPU tunnel pre-imports jax
     with platform=axon, so JAX_PLATFORMS=cpu from conftest does not stick;
