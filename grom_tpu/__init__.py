@@ -2,9 +2,9 @@
 
 Reimplements the capabilities of GROM (radygenomics/GROM: SNVs, small indels,
 structural variants, CNVs and translocations from coordinate-sorted paired-end
-BAMs) as an idiomatic JAX/XLA/Pallas engine: host-side BAM→tensor ingest,
-vectorized pileup/evidence kernels over HBM-resident genome tiles, and
-mesh-sharded multi-chip execution.
+BAMs) as an idiomatic JAX/XLA engine: host-side BAM→tensor ingest, vectorized
+pileup/evidence kernels over HBM-resident genome tiles, and mesh-sharded
+multi-chip execution.
 """
 
 def _tune_malloc() -> None:

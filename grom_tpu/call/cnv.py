@@ -747,24 +747,17 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
                         out[hi_side] = -pv_sd[pi]
                     base[midx] = out
         else:
-          for k, key in enumerate(ukeys):
-            d = int(key % dspan)
-            g = int((key // dspan) % 101)
-            cls = int(key // (dspan * 101))
-            arr = hi_arr[g] if cls == 0 else lo_arr[g]
-            n = hi_n[g] if cls == 0 else lo_n[g]
-            if True:
-                # -K 0: direct (ave-d)/σ with the 2x-mean dup clamp
-                # (src/GROM.c:18838-18858, :18920-18940)
-                sb = std[cls, g]
-                if d < ave[cls, g]:
-                    base_sd = (ave[cls, g] - d) / sb if sb else 0.0
-                elif d > cfg.dup_threshold_factor * ave[cls, g]:
-                    base_sd = ((cfg.dup_threshold_factor - 1)
-                               * (-ave[cls, g]) / sb if sb else 0.0)
-                else:
-                    base_sd = (ave[cls, g] - d) / sb if sb else 0.0
-            base[k] = base_sd
+            # -K 0: direct (ave-d)/σ with the 2x-mean dup clamp, one
+            # vectorized pass over the unique keys
+            # (src/GROM.c:18838-18858, :18920-18940)
+            sb = std[kc, kg]
+            av = ave[kc, kg]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                plain = np.where(sb != 0, (av - kd) / sb, 0.0)
+                clamped = np.where(
+                    sb != 0, (cfg.dup_threshold_factor - 1) * (-av) / sb, 0.0)
+            base[:] = np.where(kd > cfg.dup_threshold_factor * av,
+                               clamped, plain)
         w = np.where(hi_mq_v[vi],
                      mf + (1.0 - mf) * (mq[sl][vi] - cfg.min_mapq) / 40.0,
                      mf)
