@@ -432,7 +432,6 @@ class DepositsSession:
         self._holds: List = []            # buffers the C engine points into
         self._diff = None
         self._point = None
-        self._indel_seqs: Dict[int, bytes] = {}
         self._py_dense: Optional[DenseArrays] = None
         self._py_state: Optional[EvidenceState] = None
         self._refid = 0
@@ -494,23 +493,6 @@ class DepositsSession:
         aux = _parse_aux_arrays(batch, self.chr_name_lower.encode(),
                                 eligible.astype(bool) if self.cfg.splitread
                                 else np.zeros(R, bool))
-        # retain inserted-sequence sources: reads with any I op (the only
-        # reads whose bytes the typed state can reference later)
-        elig_b = eligible.astype(bool)
-        if batch.has_ins is not None:
-            has_ins = batch.has_ins.astype(bool)
-        else:
-            ops = (reads.cigar & 0xF)
-            n_ops = np.diff(reads.cigar_off)
-            has_ins = np.zeros(R, bool)
-            from grom_tpu.ingest.bam import CINS
-            ins_reads = np.unique(np.repeat(np.arange(R), n_ops)[ops == CINS])
-            has_ins[ins_reads] = True
-        for i in np.flatnonzero(has_ins & elig_b):
-            s0, s1 = int(reads.seq_off[i]), int(reads.seq_off[i + 1])
-            self._indel_seqs[self.read_base + int(i)] = \
-                reads.seq[s0:s1].tobytes()
-
         holds = []
 
         def p(a, dt):
@@ -529,7 +511,8 @@ class DepositsSession:
             p(reads.cigar, np.uint32), p(reads.cigar_off, np.int64),
             p(aux[0], np.uint8), p(aux[1], np.int64), p(aux[2], np.uint8),
             p(aux[3], np.int32), p(aux[4], np.int32), p(aux[5], np.int32),
-            p(aux[6], np.int32))
+            p(aux[6], np.int32),
+            p(reads.seq, np.uint8), p(reads.seq_off, np.int64))
         if rc != 0:
             self._lib.gn_deposits_abort(self._handle)
             self._handle = None
@@ -569,16 +552,16 @@ class DepositsSession:
         self._handle = None
         if rc != 0:
             raise RuntimeError("deposits finish failed rc=%d" % rc)
-        st = _marshal_dep_out(self._lib, out,
-                              seq_lookup=self._indel_seqs.get)
+        st = _marshal_dep_out(self._lib, out)
         dense = _dense_from_buffers(self.L, self._diff, self._point)
         return dense, st
 
 
-def _marshal_dep_out(lib, out, seq_lookup=None, reads=None) -> EvidenceState:
-    """Convert the C engine's sparse output into an EvidenceState.
-    ``seq_lookup(global_read_idx) -> bytes`` resolves indel_i sequences in
-    session mode; ``reads`` resolves them from a whole-chromosome batch."""
+def _arrays_from_dep_out(lib, out):
+    """Copy the C engine's sparse output into numpy arrays + the seq arena
+    bytes, then free it. Entry order is the engine's flush order:
+    position-ascending, etype-ascending within a position (oth entries keep
+    per-position slot order)."""
     import numpy as np
     try:
         o = out.contents
@@ -586,26 +569,43 @@ def _marshal_dep_out(lib, out, seq_lookup=None, reads=None) -> EvidenceState:
         as_np = lambda ptr, n, dt: (np.ctypeslib.as_array(ptr, shape=(n,))
                                     .astype(dt, copy=True) if n else
                                     np.empty(0, dt))
-        pp = as_np(o.prim_pos, n_p, np.int64)
-        pe = as_np(o.prim_etype, n_p, np.int32)
-        pc = as_np(o.prim_count, n_p, np.int32)
-        pd = as_np(o.prim_dist, n_p, np.float64)
-        prs = as_np(o.prim_rs, n_p, np.int64)
-        pre = as_np(o.prim_re, n_p, np.int64)
-        pm = as_np(o.prim_mchr, n_p, np.int32)
-        psr = as_np(o.prim_seq_read, n_p, np.int32)
         pso = as_np(o.prim_seq_off, n_p, np.int32)
         psl = as_np(o.prim_seq_len, n_p, np.int32)
-        op_ = as_np(o.oth_pos, n_o, np.int64)
-        ot = as_np(o.oth_type, n_o, np.int32)
-        oc = as_np(o.oth_count, n_o, np.int32)
-        od = as_np(o.oth_dist, n_o, np.float64)
-        ors = as_np(o.oth_rs, n_o, np.int64)
-        ore = as_np(o.oth_re, n_o, np.int64)
-        om = as_np(o.oth_mchr, n_o, np.int32)
+        arena = b""
+        if n_p and psl.max(initial=-1) >= 0:
+            arena_len = int((pso + np.maximum(psl, 0)).max())
+            arena = bytes(np.ctypeslib.as_array(o.seq_arena,
+                                                shape=(arena_len,)))
+        d = dict(
+            pos=as_np(o.prim_pos, n_p, np.int64),
+            etype=as_np(o.prim_etype, n_p, np.int32),
+            count=as_np(o.prim_count, n_p, np.int32),
+            dist=as_np(o.prim_dist, n_p, np.float64),
+            rs=as_np(o.prim_rs, n_p, np.int64),
+            re=as_np(o.prim_re, n_p, np.int64),
+            mchr=as_np(o.prim_mchr, n_p, np.int32),
+            seq_off=pso, seq_len=psl, seq_arena=arena,
+            oth_pos=as_np(o.oth_pos, n_o, np.int64),
+            oth_type=as_np(o.oth_type, n_o, np.int32),
+            oth_count=as_np(o.oth_count, n_o, np.int32),
+            oth_dist=as_np(o.oth_dist, n_o, np.float64),
+            oth_rs=as_np(o.oth_rs, n_o, np.int64),
+            oth_re=as_np(o.oth_re, n_o, np.int64),
+            oth_mchr=as_np(o.oth_mchr, n_o, np.int32),
+        )
     finally:
         lib.gn_deposits_free(out)
+    return d
 
+
+def _marshal_dep_out(lib, out) -> EvidenceState:
+    """Convert the C engine's sparse output into an EvidenceState."""
+    d = _arrays_from_dep_out(lib, out)
+    n_p = len(d["pos"])
+    n_o = len(d["oth_pos"])
+    pp, pe, pc, pd = d["pos"], d["etype"], d["count"], d["dist"]
+    prs, pre, pm = d["rs"], d["re"], d["mchr"]
+    pso, psl, arena = d["seq_off"], d["seq_len"], d["seq_arena"]
     st = EvidenceState()
     primary = st.primary
     for i in range(n_p):
@@ -615,15 +615,12 @@ def _marshal_dep_out(lib, out, seq_lookup=None, reads=None) -> EvidenceState:
         p_.rs = int(prs[i])
         p_.re = int(pre[i])
         p_.mchr = int(pm[i])
-        if psr[i] >= 0:
-            off, ln = int(pso[i]), int(psl[i])
-            if seq_lookup is not None:
-                sb = seq_lookup(int(psr[i]))
-                p_.seq = sb[off:off + ln] if sb is not None else None
-            else:
-                s0 = int(reads.seq_off[psr[i]]) + off
-                p_.seq = reads.seq[s0:s0 + ln].tobytes()
+        if psl[i] >= 0:
+            off = int(pso[i])
+            p_.seq = arena[off:off + int(psl[i])]
         primary[(int(pe[i]), int(pp[i]))] = p_
+    op_, ot, oc = d["oth_pos"], d["oth_type"], d["oth_count"]
+    od, ors, ore, om = d["oth_dist"], d["oth_rs"], d["oth_re"], d["oth_mchr"]
     other = st.other
     for i in range(n_o):
         s_ = OtherSlot()
@@ -716,13 +713,14 @@ def run_deposits_native(chrom_len: int, batch: ReadBatch,
         p(aux[0], np.uint8), p(aux[1], np.int64), p(aux[2], np.uint8),
         p(aux[3], np.int32), p(aux[4], np.int32), p(aux[5], np.int32),
         p(aux[6], np.int32),
+        p(reads.seq, np.uint8), p(reads.seq_off, np.int64),
         params_i.ctypes.data_as(ctypes.c_void_p),
         params_d.ctypes.data_as(ctypes.c_void_p),
         dense_ptrs, ctypes.byref(out))
     if rc != 0:
         return None
 
-    st = _marshal_dep_out(lib, out, reads=reads)
+    st = _marshal_dep_out(lib, out)
     dense = _dense_from_buffers(L, diff, point)
     return dense, st
 

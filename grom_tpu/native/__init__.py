@@ -56,7 +56,7 @@ class DepOut(ctypes.Structure):
         ("prim_rs", ctypes.POINTER(ctypes.c_int64)),
         ("prim_re", ctypes.POINTER(ctypes.c_int64)),
         ("prim_mchr", ctypes.POINTER(ctypes.c_int32)),
-        ("prim_seq_read", ctypes.POINTER(ctypes.c_int32)),
+        ("seq_arena", ctypes.POINTER(ctypes.c_uint8)),
         ("prim_seq_off", ctypes.POINTER(ctypes.c_int32)),
         ("prim_seq_len", ctypes.POINTER(ctypes.c_int32)),
         ("oth_pos", ctypes.POINTER(ctypes.c_int64)),
@@ -109,17 +109,22 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         lib.gn_cnv_scan.argtypes = [L, L] + [P] * 8 + \
             [L, L, L, L, L, D, I, P, P, P, L]
     lib.gn_deposits_run.restype = I
-    lib.gn_deposits_run.argtypes = [L] + [P] * 21 + \
+    lib.gn_deposits_run.argtypes = [L] + [P] * 23 + \
         [P, P, P, ctypes.POINTER(ctypes.POINTER(DepOut))]
     lib.gn_deposits_free.restype = None
     lib.gn_deposits_free.argtypes = [ctypes.POINTER(DepOut)]
     lib.gn_deposits_init.restype = P
     lib.gn_deposits_init.argtypes = [P, P, P, L, L]
+    lib.gn_deposits_init_stream.restype = P
+    lib.gn_deposits_init_stream.argtypes = [P, P, L, L, L]
     lib.gn_deposits_feed.restype = I
-    lib.gn_deposits_feed.argtypes = [P, L, L] + [P] * 21
+    lib.gn_deposits_feed.argtypes = [P, L, L] + [P] * 23
     lib.gn_deposits_finish.restype = I
     lib.gn_deposits_finish.argtypes = [
         P, ctypes.POINTER(ctypes.POINTER(DepOut))]
+    lib.gn_deposits_drain.restype = I
+    lib.gn_deposits_drain.argtypes = [
+        P, L, ctypes.c_int, L, P, ctypes.POINTER(ctypes.POINTER(DepOut))]
     lib.gn_deposits_abort.restype = None
     lib.gn_deposits_abort.argtypes = [P]
     lib.gn_snv_accumulate.restype = I

@@ -54,6 +54,8 @@ enum { RM_END = 0, RM_MINMAX = 1, RM_MAX = 2 };
 
 #define MAX_SLOTS 50
 
+#define SEQ_INLINE_CAP 64
+
 typedef struct {
     int64_t gen;                 /* absolute position, -1 = free */
     uint32_t touched;            /* bit (1<<etype) set once primary exists */
@@ -62,7 +64,8 @@ typedef struct {
     double p_dist[N_ETYPE + 1];
     int64_t p_rs[N_ETYPE + 1], p_re[N_ETYPE + 1];
     int32_t p_mchr[N_ETYPE + 1];
-    int32_t seq_read, seq_off, seq_len;  /* E_INDEL_I first-set sequence */
+    int32_t seq_len;                     /* E_INDEL_I first-set sequence */
+    uint8_t seq_bytes[SEQ_INLINE_CAP];   /* copied inline at deposit time */
 } pstate;
 
 typedef struct {
@@ -81,7 +84,8 @@ typedef struct {
     double *prim_dist;
     int64_t *prim_rs, *prim_re;
     int32_t *prim_mchr;
-    int32_t *prim_seq_read, *prim_seq_off, *prim_seq_len;
+    uint8_t *seq_arena;                  /* E_INDEL_I inserted sequences */
+    int32_t *prim_seq_off, *prim_seq_len; /* offsets into seq_arena; -1 none */
     int64_t *oth_pos;
     int32_t *oth_type, *oth_count;
     double *oth_dist;
@@ -110,6 +114,19 @@ typedef struct {
     int32_t **dense;
     int64_t back, max_lseq_cap, max_ref_span_cap;
     int64_t prev_pos;            /* cross-feed sortedness check */
+    long seq_cap;                /* current out's seq_arena capacity */
+    long seq_used;
+    /* windowed dense mode (gn_deposits_init_stream): dense channels live in
+     * position rings of dspan entries instead of whole-chromosome buffers;
+     * gn_deposits_drain exports+recycles [drained_to, upto) incrementally */
+    int windowed;
+    int64_t dmask;               /* ring mask; legacy mode: all-ones (x&m==x) */
+    int64_t dense_lo, dense_hi;  /* valid write window [lo, hi) */
+    int64_t drained_to;
+    int64_t span_carry[5];       /* committed prefix-sum carry per span chan */
+    int32_t *dblock;             /* backing block for windowed channels */
+    int32_t **dense_owned;       /* channel-pointer table owned by engine */
+    int32_t scratch;             /* dump target for out-of-window writes */
 } engine;
 
 static int grow_prim(engine *e) {
@@ -118,10 +135,23 @@ static int grow_prim(engine *e) {
 #define GP(f, T) { void *p = realloc(o->f, (size_t)c * sizeof(T)); if (!p) return -1; o->f = (T *)p; }
     GP(prim_pos, int64_t) GP(prim_etype, int32_t) GP(prim_count, int32_t)
     GP(prim_dist, double) GP(prim_rs, int64_t) GP(prim_re, int64_t)
-    GP(prim_mchr, int32_t) GP(prim_seq_read, int32_t) GP(prim_seq_off, int32_t)
-    GP(prim_seq_len, int32_t)
+    GP(prim_mchr, int32_t) GP(prim_seq_off, int32_t) GP(prim_seq_len, int32_t)
 #undef GP
     e->prim_cap = c;
+    return 0;
+}
+
+static int grow_seq(engine *e, long need) {
+    long c = e->seq_cap ? e->seq_cap : 4096;
+    while (c < e->seq_used + need)
+        c *= 2;
+    if (c != e->seq_cap) {
+        void *p = realloc(e->out->seq_arena, (size_t)c);
+        if (!p)
+            return -1;
+        e->out->seq_arena = (uint8_t *)p;
+        e->seq_cap = c;
+    }
     return 0;
 }
 
@@ -148,9 +178,19 @@ static pstate *get_ps(engine *e, int64_t p) {
         ps->touched = 0;
         ps->other_head = ps->other_tail = -1;
         ps->other_n = 0;
-        ps->seq_read = ps->seq_off = ps->seq_len = -1;
+        ps->seq_len = -1;
     }
     return ps;
+}
+
+/* dense-channel write target: window-checked ring slot (windowed mode) or
+ * the whole-chromosome buffer (legacy: dmask all-ones, window [0, L+1)) */
+static inline int32_t *dptr(engine *e, int ch, int64_t x) {
+    if (x < e->dense_lo || x >= e->dense_hi) {
+        e->err = 3;
+        return &e->scratch;
+    }
+    return &e->dense[ch][x & e->dmask];
 }
 
 /* ensure primary entry exists (deposits.py EvidenceState.get_primary) */
@@ -176,7 +216,7 @@ static double tol_of(double tol_base, int32_t count) {
 static void deposit_typed(engine *e, int etype, int64_t pos, double dist,
                           int32_t add, double addf, int64_t range_val,
                           int range_mode, int32_t mchr, double tol_base,
-                          int32_t seq_read, int32_t seq_off, int32_t seq_len) {
+                          const uint8_t *seqp, int64_t seq_len) {
     pstate *ps = get_ps(e, pos);
     if (!ps)
         return;
@@ -196,10 +236,9 @@ static void deposit_typed(engine *e, int etype, int64_t pos, double dist,
         *prs = range_val;
         *pre = range_val;
         *pm = mchr;
-        if (etype == E_INDEL_I && seq_read >= 0) {
-            ps->seq_read = seq_read;
-            ps->seq_off = seq_off;
-            ps->seq_len = seq_len;
+        if (etype == E_INDEL_I && seqp && seq_len <= SEQ_INLINE_CAP) {
+            memcpy(ps->seq_bytes, seqp, (size_t)seq_len);
+            ps->seq_len = (int32_t)seq_len;
         }
         return;
     }
@@ -356,12 +395,18 @@ static void flush_to(engine *e, int64_t upto) {
             o->prim_rs[i] = ps->p_rs[t];
             o->prim_re[i] = ps->p_re[t];
             o->prim_mchr[i] = ps->p_mchr[t];
-            if (t == E_INDEL_I) {
-                o->prim_seq_read[i] = ps->seq_read;
-                o->prim_seq_off[i] = ps->seq_off;
+            if (t == E_INDEL_I && ps->seq_len >= 0) {
+                if (grow_seq(e, ps->seq_len)) {
+                    e->err = 2;
+                    return;
+                }
+                memcpy(o->seq_arena + e->seq_used, ps->seq_bytes,
+                       (size_t)ps->seq_len);
+                o->prim_seq_off[i] = (int32_t)e->seq_used;
                 o->prim_seq_len[i] = ps->seq_len;
+                e->seq_used += ps->seq_len;
             } else {
-                o->prim_seq_read[i] = o->prim_seq_off[i] = o->prim_seq_len[i] = -1;
+                o->prim_seq_off[i] = o->prim_seq_len[i] = -1;
             }
         }
         for (int32_t si = ps->other_head; si >= 0; si = e->pool[si].next) {
@@ -397,13 +442,13 @@ enum {
     N_DENSE
 };
 
-static inline void span_diff(int32_t *a, int64_t L, int64_t s, int64_t ec,
+static inline void span_diff(engine *e, int ch, int64_t s, int64_t ec,
                              int32_t w) {
     int64_t s0 = s < 0 ? 0 : s;
-    int64_t e0 = ec > L ? L : ec;
+    int64_t e0 = ec > e->L ? e->L : ec;
     if (e0 > s0) {
-        a[s0] += w;
-        a[e0] -= w;
+        *dptr(e, ch, s0) += w;
+        *dptr(e, ch, e0) -= w;
     }
 }
 
@@ -417,7 +462,7 @@ GN_API void gn_deposits_free(gn_dep_out *o) {
     free(o->prim_rs);
     free(o->prim_re);
     free(o->prim_mchr);
-    free(o->prim_seq_read);
+    free(o->seq_arena);
     free(o->prim_seq_off);
     free(o->prim_seq_len);
     free(o->oth_pos);
@@ -471,6 +516,12 @@ GN_API void *gn_deposits_init(
     e->max_lseq_cap = max_lseq;
     e->max_ref_span_cap = max_ref_span;
     e->prev_pos = -1;
+    /* legacy whole-chromosome dense mode: identity ring, window [0, L+1) */
+    e->windowed = 0;
+    e->dmask = -1;                  /* all-ones: x & dmask == x */
+    e->dense_lo = 0;
+    e->dense_hi = e->L + 1;
+    e->drained_to = 0;
 
     int64_t back = e->im + 2 * max_lseq + 64;
     int64_t fwd = e->im + max_lseq + max_ref_span + 64;
@@ -502,8 +553,128 @@ GN_API void gn_deposits_abort(void *h) {
         return;
     free(e->ring);
     free(e->pool);
+    free(e->dblock);
+    free(e->dense_owned);
     gn_deposits_free(e->out);
     free(e);
+}
+
+/* Streaming-session init with WINDOWED dense channels: instead of 22
+ * caller-provided whole-chromosome buffers, the dense accumulators live in
+ * internal position rings of `dspan` (power of two) entries each, and
+ * gn_deposits_drain exports+recycles finalized ranges incrementally.  This
+ * is the memory-bounding mode: peak dense memory is 22 * dspan * 4 bytes
+ * regardless of chromosome length — the chunk-granular re-expression of the
+ * reference's sliding half-shift window (src/GROM.c:5846-6402). */
+GN_API void *gn_deposits_init_stream(
+    const int64_t *params_i, const double *params_d,
+    int64_t max_lseq, int64_t max_ref_span, int64_t dspan) {
+
+    if (dspan <= 0 || (dspan & (dspan - 1)) != 0)
+        return NULL;
+    int32_t **chans = (int32_t **)malloc(N_DENSE * sizeof(int32_t *));
+    if (!chans)
+        return NULL;
+    int32_t *block = (int32_t *)calloc((size_t)N_DENSE * (size_t)dspan,
+                                       sizeof(int32_t));
+    if (!block) {
+        free(chans);
+        return NULL;
+    }
+    for (int d = 0; d < N_DENSE; d++)
+        chans[d] = block + (size_t)d * (size_t)dspan;
+    engine *e = (engine *)gn_deposits_init(params_i, params_d, chans,
+                                           max_lseq, max_ref_span);
+    if (!e) {
+        free(block);
+        free(chans);
+        return NULL;
+    }
+    /* window must cover back-reach + forward-reach beyond any undrained
+     * span; the caller is responsible for draining often enough */
+    if (dspan < e->back + (e->im + max_lseq + max_ref_span + 64) + 2) {
+        gn_deposits_abort(e);
+        free(block);
+        free(chans);
+        return NULL;
+    }
+    e->windowed = 1;
+    e->dmask = dspan - 1;
+    e->dense_lo = 0;
+    e->dense_hi = dspan;
+    e->dblock = block;
+    e->dense_owned = chans;
+    return e;
+}
+
+/* Export finalized state for [drained_to, upto): hands over the typed
+ * evidence flushed so far (entries are position-ascending; a suffix may
+ * reach beyond `upto` — the caller splits) and, in windowed mode, fills the
+ * caller's 22 dense buffers (each upto-drained_to+halo int32) with the
+ * finalized channel values, recycling the ring behind them.  Span channels
+ * (indices 0-4) are exported prefix-summed with a committed running carry;
+ * their halo tail continues the sum but is NOT final — only point-channel
+ * halo values are (their writers stay within one read length of the
+ * position).  `final` flushes everything regardless of `upto`.
+ * Safety contract: every read with pos < upto + back must have been fed. */
+GN_API int gn_deposits_drain(void *h, int64_t upto, int final, int64_t halo,
+                             int32_t **dense_out, gn_dep_out **evout) {
+    engine *e = (engine *)h;
+    *evout = NULL;
+    if (e->err)
+        return e->err;
+    if (final)
+        flush_to(e, e->flushed + e->wmask + 1);
+    else
+        flush_to(e, upto);
+    if (e->err)
+        return e->err;
+    *evout = e->out;
+    e->out = (gn_dep_out *)calloc(1, sizeof(gn_dep_out));
+    e->prim_cap = e->oth_cap = 0;
+    e->seq_cap = e->seq_used = 0;
+    if (!e->out) {
+        e->err = 2;
+        return 2;
+    }
+    if (e->windowed && dense_out) {
+        const int64_t p0 = e->drained_to;
+        const int64_t n = upto - p0;
+        const int64_t m = e->dmask;
+        if (n < 0 || upto + halo > e->dense_hi)
+            return (e->err = 3);
+        for (int d = 0; d <= 4; d++) {          /* span-diff channels */
+            int32_t *rb = e->dense[d];
+            int32_t *out = dense_out[d];
+            int64_t acc = e->span_carry[d];
+            for (int64_t x = p0; x < upto; x++) {
+                int64_t xi = x & m;
+                acc += rb[xi];
+                rb[xi] = 0;
+                out[x - p0] = (int32_t)acc;
+            }
+            e->span_carry[d] = acc;
+            for (int64_t x = upto; x < upto + halo; x++) {
+                acc += rb[x & m];               /* read-only continuation */
+                out[x - p0] = (int32_t)acc;
+            }
+        }
+        for (int d = 5; d < N_DENSE; d++) {     /* point channels */
+            int32_t *rb = e->dense[d];
+            int32_t *out = dense_out[d];
+            for (int64_t x = p0; x < upto; x++) {
+                int64_t xi = x & m;
+                out[x - p0] = rb[xi];
+                rb[xi] = 0;
+            }
+            for (int64_t x = upto; x < upto + halo; x++)
+                out[x - p0] = rb[x & m];
+        }
+        e->drained_to = upto;
+        e->dense_lo = upto;
+        e->dense_hi = upto + (m + 1);
+    }
+    return 0;
 }
 
 GN_API int gn_deposits_feed(
@@ -516,9 +687,11 @@ GN_API int gn_deposits_feed(
     const uint8_t *aux_match_a, const int64_t *aux_pos_a,
     const uint8_t *aux_strand_a, const int32_t *aux_mapq_a,
     const int32_t *aux_sadj_a, const int32_t *aux_eadj_a,
-    const int32_t *aux_eadj_i_a) {
+    const int32_t *aux_eadj_i_a,
+    const uint8_t *seq, const int64_t *seq_off) {
 
     engine *e = (engine *)h;
+    (void)read_base;
     const int64_t L = e->L;
     const int64_t im = e->im;
     const int64_t imin = e->imin;
@@ -532,7 +705,6 @@ GN_API int gn_deposits_feed(
     const int splitread = e->splitread;
     const int32_t refid = e->refid;
     const double tol_base = e->tol_base;
-    int32_t **dense = e->dense;
     const int64_t back = e->back;
     (void)min_mapq; (void)read_len;
 
@@ -559,10 +731,11 @@ GN_API int gn_deposits_feed(
     e->prev_pos = prev_pos;
 
 #define DEP(et, p, d, a, af, rv, rm, mc, tb) \
-    deposit_typed(e, et, p, d, a, af, rv, rm, mc, tb, -1, -1, -1)
-#define RD_SPAN(s, ee) span_diff(dense[D_RD], L, (s), (ee), 1)
+    deposit_typed(e, et, p, d, a, af, rv, rm, mc, tb, NULL, -1)
+#define DPT(ch, p) (*dptr(e, ch, (p)))
+#define RD_SPAN(s, ee) span_diff(e, D_RD, (s), (ee), 1)
 #define RD_POINT(p) do { int64_t _p = (p); if (_p >= 0 && _p < L) { \
-        dense[D_RD][_p] += 1; dense[D_RD][_p + 1] -= 1; } } while (0)
+        DPT(D_RD, _p) += 1; DPT(D_RD, _p + 1) -= 1; } } while (0)
 
     for (long i = 0; i < R && !e->err; i++) {
         if (!elig[i])
@@ -604,23 +777,23 @@ GN_API int gn_deposits_feed(
             int64_t lp = rpos - 1;
             if (!paired || (!rev && (munmap || (!munmap && same_chr && mpos > rpos)))) {
                 if (lp >= 0 && lp < L) {
-                    dense[D_SC_LEFT][lp] += add;
-                    dense[D_SC_LEFT_RD][lp] += 1;
-                    dense[D_SC_RD][lp] += 1;
+                    DPT(D_SC_LEFT, lp) += add;
+                    DPT(D_SC_LEFT_RD, lp) += 1;
+                    DPT(D_SC_RD, lp) += 1;
                 }
             }
             if (paired && !munmap && !same_chr && rev) {
                 if (lp >= 0 && lp < L) {
-                    dense[D_CTX_SC_LEFT][lp] += add;
-                    dense[D_CTX_SC_LEFT_RD][lp] += 1;
-                    dense[D_CTX_SC_RD][lp] += 1;
+                    DPT(D_CTX_SC_LEFT, lp) += add;
+                    DPT(D_CTX_SC_LEFT_RD, lp) += 1;
+                    DPT(D_CTX_SC_RD, lp) += 1;
                 }
             }
             if (paired && !munmap && same_chr && rev && llabs(tlen) <= im && mpos < rpos) {
                 if (lp >= 0 && lp < L) {
-                    dense[D_INDEL_SC_LEFT][lp] += add;
-                    dense[D_INDEL_SC_LEFT_RD][lp] += 1;
-                    dense[D_INDEL_SC_RD][lp] += 1;
+                    DPT(D_INDEL_SC_LEFT, lp) += add;
+                    DPT(D_INDEL_SC_LEFT_RD, lp) += 1;
+                    DPT(D_INDEL_SC_RD, lp) += 1;
                 }
             }
         }
@@ -628,23 +801,23 @@ GN_API int gn_deposits_feed(
             int64_t rp = read_end;
             if (!paired || (rev && (munmap || (!munmap && same_chr && mpos < rpos)))) {
                 if (rp >= 0 && rp < L) {
-                    dense[D_SC_RIGHT][rp] += add;
-                    dense[D_SC_RIGHT_RD][rp] += 1;
-                    dense[D_SC_RD][rp] += 1;
+                    DPT(D_SC_RIGHT, rp) += add;
+                    DPT(D_SC_RIGHT_RD, rp) += 1;
+                    DPT(D_SC_RD, rp) += 1;
                 }
             }
             if (paired && !munmap && !same_chr && !rev) {
                 if (rp >= 0 && rp < L) {
-                    dense[D_CTX_SC_RIGHT][rp] += add;
-                    dense[D_CTX_SC_RIGHT_RD][rp] += 1;
-                    dense[D_CTX_SC_RD][rp] += 1;
+                    DPT(D_CTX_SC_RIGHT, rp) += add;
+                    DPT(D_CTX_SC_RIGHT_RD, rp) += 1;
+                    DPT(D_CTX_SC_RD, rp) += 1;
                 }
             }
             if (paired && !munmap && same_chr && !rev && llabs(tlen) <= im && mpos > rpos) {
                 if (rp >= 0 && rp < L) {
-                    dense[D_INDEL_SC_RIGHT][rp] += add;
-                    dense[D_INDEL_SC_RIGHT_RD][rp] += 1;
-                    dense[D_INDEL_SC_RD][rp] += 1;
+                    DPT(D_INDEL_SC_RIGHT, rp) += add;
+                    DPT(D_INDEL_SC_RIGHT_RD, rp) += 1;
+                    DPT(D_INDEL_SC_RD, rp) += 1;
                 }
             }
         }
@@ -668,11 +841,10 @@ GN_API int gn_deposits_feed(
                         rbase += ln;
                 } else if (op == CINS) {
                     if (tpos >= 0 && tpos < L) {
-                        if (ln <= indel_i_cap)
+                        if (ln <= indel_i_cap && seq)
                             deposit_typed(e, E_INDEL_I, tpos, (double)ln, add,
                                           addf, 0, RM_END, -1, 0.0,
-                                          (int32_t)(read_base + i),
-                                          (int32_t)rbase, (int32_t)ln);
+                                          seq + seq_off[i] + rbase, ln);
                         else
                             DEP(E_INDEL_I, tpos, (double)ln, add, addf, 0,
                                 RM_END, -1, 0.0);
@@ -680,13 +852,13 @@ GN_API int gn_deposits_feed(
                     rbase += ln;
                 } else if (op == CDEL) {
                     if (tpos >= 0 && tpos < L) {
-                        dense[D_INDEL_D_F_RD][tpos] += 1;
+                        DPT(D_INDEL_D_F_RD, tpos) += 1;
                         DEP(E_INDEL_D_F, tpos, (double)ln, add, addf, 0,
                             RM_END, -1, 0.0);
                     }
                     int64_t dend = tpos + ln - 1;
                     if (dend >= 0 && dend < L) {
-                        dense[D_INDEL_D_R_RD][dend] += 1;
+                        DPT(D_INDEL_D_R_RD, dend) += 1;
                         DEP(E_INDEL_D_R, dend, (double)ln, add, addf, 0,
                             RM_END, -1, 0.0);
                     }
@@ -758,12 +930,12 @@ GN_API int gn_deposits_feed(
             int64_t gap = lp_e - lp_s;
             if (gap < read_len && gap < im - imean) {
                 if (lp_s >= 0 && lp_s < L) {
-                    dense[D_INDEL_D_F_RD][lp_s] += 1;
+                    DPT(D_INDEL_D_F_RD, lp_s) += 1;
                     DEP(E_INDEL_D_F, lp_s, (double)gap, add, addf, 0, RM_END,
                         -1, 0.0);
                 }
                 if (lp_e - 1 >= 0 && lp_e - 1 < L) {
-                    dense[D_INDEL_D_R_RD][lp_e - 1] += 1;
+                    DPT(D_INDEL_D_R_RD, lp_e - 1) += 1;
                     DEP(E_INDEL_D_R, lp_e - 1, (double)gap, add, addf, 0,
                         RM_END, -1, 0.0);
                 }
@@ -837,7 +1009,7 @@ GN_API int gn_deposits_feed(
                                 int64_t s0c = s0 < 0 ? 0 : s0;
                                 int64_t e0c = e0 > L ? L : e0;
                                 if (e0c > s0c) {
-                                    span_diff(dense[D_CONC], L, s0, e0, 1);
+                                    span_diff(e, D_CONC, s0, e0, 1);
                                     RD_SPAN(s0, e0);
                                 }
                             }
@@ -889,7 +1061,7 @@ GN_API int gn_deposits_feed(
                                 int64_t s0c = s0 < 0 ? 0 : s0;
                                 int64_t e0c = e0 > L ? L : e0;
                                 if (e0c > s0c) {
-                                    span_diff(dense[D_INS], L, s0, e0, add);
+                                    span_diff(e, D_INS, s0, e0, add);
                                     RD_SPAN(s0, e0);
                                 }
                             }
@@ -1071,7 +1243,7 @@ GN_API int gn_deposits_feed(
                 int64_t s0c = s0 < 0 ? 0 : s0;
                 int64_t e0c = e0 > L ? L : e0;
                 if (e0c > s0c) {
-                    span_diff(dense[D_MF], L, s0, e0, add);
+                    span_diff(e, D_MF, s0, e0, add);
                     RD_SPAN(s0, e0);
                 }
             } else {
@@ -1080,7 +1252,7 @@ GN_API int gn_deposits_feed(
                 int64_t s0c = s0 < 0 ? 0 : s0;
                 int64_t e0c = e0 > L ? L : e0;
                 if (e0c > s0c) {
-                    span_diff(dense[D_MR], L, s0, e0, add);
+                    span_diff(e, D_MR, s0, e0, add);
                     RD_SPAN(s0, e0);
                 }
             }
@@ -1089,6 +1261,7 @@ GN_API int gn_deposits_feed(
 
     return e->err;
 #undef DEP
+#undef DPT
 #undef RD_SPAN
 #undef RD_POINT
 }
@@ -1098,22 +1271,27 @@ GN_API int gn_deposits_finish(void *h, gn_dep_out **out_p) {
     if (!e->err)
         flush_to(e, e->flushed + e->wmask + 1);
     int err = e->err;
+    int windowed = e->windowed;
     int32_t **dense = e->dense;
     const int64_t L = e->L;
     gn_dep_out *out = e->out;
     free(e->ring);
     free(e->pool);
+    free(e->dblock);
+    free(e->dense_owned);
     free(e);
     if (err) {
         gn_deposits_free(out);
         return err;
     }
-    for (int d = D_RD; d <= D_MR; d++) {
-        int32_t *a = dense[d];
-        int32_t acc = 0;
-        for (int64_t p = 0; p < L; p++) {
-            acc += a[p];
-            a[p] = acc;
+    if (!windowed) {
+        for (int d = D_RD; d <= D_MR; d++) {
+            int32_t *a = dense[d];
+            int32_t acc = 0;
+            for (int64_t p = 0; p < L; p++) {
+                acc += a[p];
+                a[p] = acc;
+            }
         }
     }
     *out_p = out;
@@ -1131,6 +1309,7 @@ GN_API int gn_deposits_run(
     const uint8_t *aux_strand_a, const int32_t *aux_mapq_a,
     const int32_t *aux_sadj_a, const int32_t *aux_eadj_a,
     const int32_t *aux_eadj_i_a,
+    const uint8_t *seq, const int64_t *seq_off,
     const int64_t *params_i, const double *params_d,
     int32_t **dense, gn_dep_out **out_p) {
 
@@ -1186,7 +1365,7 @@ GN_API int gn_deposits_run(
                               lseq_a, sadj_a, eadj_a, eadj_i_a, addw, elig,
                               cigar, cigar_off, aux_match_a, aux_pos_a,
                               aux_strand_a, aux_mapq_a, aux_sadj_a,
-                              aux_eadj_a, aux_eadj_i_a);
+                              aux_eadj_a, aux_eadj_i_a, seq, seq_off);
     if (rc) {
         gn_deposits_abort(h);
         return rc;
