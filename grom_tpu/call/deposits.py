@@ -319,7 +319,11 @@ def parse_aux(tag: Optional[bytes], is_xp: bool = False) -> Optional[AuxSplit]:
 
 @dataclass
 class DenseArrays:
-    """Commutative per-base accumulators beyond ChromArrays."""
+    """Commutative per-base accumulators beyond ChromArrays.
+
+    ``base`` is the absolute position of array index 0: whole-chromosome
+    runs use 0; the windowed streaming drain produces chunk-local arrays
+    covering [base, base + n + halo)."""
     chr_len: int
     rd: np.ndarray           # cdp_one_base_rd (ALL contributions)
     conc: np.ndarray
@@ -343,6 +347,7 @@ class DenseArrays:
     indel_sc_rd: np.ndarray
     indel_d_f_rd: np.ndarray
     indel_d_r_rd: np.ndarray
+    base: int = 0
 
     @staticmethod
     def zeros(L: int) -> "DenseArrays":
@@ -382,10 +387,13 @@ def run_deposits(chrom_len: int, batch: ReadBatch, chr_name_lower: str,
 
 
 def _parse_aux_arrays(batch: ReadBatch, target_prefix: bytes,
-                      eligible: np.ndarray):
+                      eligible: np.ndarray, i0: int = 0,
+                      i1: Optional[int] = None):
     """Per-read parsed SA-tag fields for the native engine (the aux fields of
-    run_deposits_py's inner loop, hoisted)."""
-    R = len(batch.pos)
+    run_deposits_py's inner loop, hoisted). ``eligible`` indexes the
+    [i0, i1) sub-range; outputs have that length."""
+    i1 = len(batch.pos) if i1 is None else i1
+    R = i1 - i0
     m = np.zeros(R, np.uint8)
     a_pos = np.zeros(R, np.int64)
     a_strand = np.zeros(R, np.uint8)
@@ -396,7 +404,7 @@ def _parse_aux_arrays(batch: ReadBatch, target_prefix: bytes,
     tags = batch.reads.sa_tags
     if tags:
         for i in np.flatnonzero(eligible):
-            aux = parse_aux(tags[i])
+            aux = parse_aux(tags[i0 + i])
             if aux is not None and aux.chrom.lower().startswith(target_prefix):
                 m[i] = 1
                 a_pos[i] = aux.pos
@@ -419,14 +427,18 @@ class DepositsSession:
     ``feed`` returning False means the native window cannot fit a read
     (freak CIGAR) — the caller must redo the chromosome non-chunked."""
 
+    DRAIN_HALO = 8   # final point-channel positions exported past each drain
+
     def __init__(self, chrom_len: int, chr_name_lower: str, cfg: GromConfig,
-                 drv: DerivedConfig, scan_start: int):
+                 drv: DerivedConfig, scan_start: int,
+                 windowed: bool = False):
         self.L = chrom_len
         self.chr_name_lower = chr_name_lower
         self.cfg = cfg
         self.drv = drv
         self.scan_start = scan_start
         self.read_base = 0
+        self.windowed = windowed
         self._mode: Optional[str] = None
         self._handle = None
         self._holds: List = []            # buffers the C engine points into
@@ -435,20 +447,25 @@ class DepositsSession:
         self._py_dense: Optional[DenseArrays] = None
         self._py_state: Optional[EvidenceState] = None
         self._refid = 0
+        self._drained_to = 0
+        self._ev_carry = None             # EvidenceChunk beyond last drain
+        # windowed dense ring sizing (mirrors the C caps): the drain cadence
+        # D must satisfy dspan >= 2*D + back + fwd
+        self._max_lseq = max(4 * drv.read_len, 4096)
+        self._max_ref_span = 1 << 16
+        im = drv.insert_max
+        self.back = im + 2 * self._max_lseq + 64
+        self.fwd = im + self._max_lseq + self._max_ref_span + 64
 
-    def _start_native(self, refid: int) -> bool:
-        import ctypes
+    def dspan_for(self, d_chunk: int) -> int:
+        need = 2 * d_chunk + self.back + self.fwd + self.DRAIN_HALO + 2
+        v = 1
+        while v < need:
+            v <<= 1
+        return v
 
-        from grom_tpu.native import get_lib
-        lib = get_lib()
-        if lib is None or not hasattr(lib, "gn_deposits_init"):
-            return False
+    def _params(self, refid: int):
         L, cfg, drv = self.L, self.cfg, self.drv
-        self._diff = [np.zeros(L + 1, np.int32) for _ in range(5)]
-        self._point = [np.zeros(L, np.int32) for _ in range(17)]
-        dense_ptrs = (ctypes.c_void_p * 22)(
-            *[a.ctypes.data_as(ctypes.c_void_p).value
-              for a in self._diff + self._point])
         params_i = np.array([
             L, drv.insert_max, drv.insert_min, drv.insert_mean,
             cfg.sc_min, cfg.min_mapq, cfg.max_split_loss, cfg.min_sr_len,
@@ -457,25 +474,58 @@ class DepositsSession:
         ], np.int64)
         params_d = np.array([float(drv.insert_max - drv.insert_min)],
                             np.float64)
-        self._holds += [dense_ptrs, params_i, params_d]
-        max_lseq = max(4 * drv.read_len, 4096)
-        h = lib.gn_deposits_init(
-            params_i.ctypes.data_as(ctypes.c_void_p),
-            params_d.ctypes.data_as(ctypes.c_void_p),
-            dense_ptrs, ctypes.c_long(max_lseq), ctypes.c_long(1 << 16))
+        self._holds += [params_i, params_d]
+        return params_i, params_d
+
+    def _start_native(self, refid: int, d_chunk: int = 0) -> bool:
+        import ctypes
+
+        from grom_tpu.native import get_lib
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "gn_deposits_init"):
+            return False
+        params_i, params_d = self._params(refid)
+        if self.windowed:
+            if not hasattr(lib, "gn_deposits_init_stream"):
+                return False
+            dspan = self.dspan_for(d_chunk)
+            h = lib.gn_deposits_init_stream(
+                params_i.ctypes.data_as(ctypes.c_void_p),
+                params_d.ctypes.data_as(ctypes.c_void_p),
+                ctypes.c_long(self._max_lseq),
+                ctypes.c_long(self._max_ref_span), ctypes.c_long(dspan))
+        else:
+            L = self.L
+            self._diff = [np.zeros(L + 1, np.int32) for _ in range(5)]
+            self._point = [np.zeros(L, np.int32) for _ in range(17)]
+            dense_ptrs = (ctypes.c_void_p * 22)(
+                *[a.ctypes.data_as(ctypes.c_void_p).value
+                  for a in self._diff + self._point])
+            self._holds.append(dense_ptrs)
+            h = lib.gn_deposits_init(
+                params_i.ctypes.data_as(ctypes.c_void_p),
+                params_d.ctypes.data_as(ctypes.c_void_p),
+                dense_ptrs, ctypes.c_long(self._max_lseq),
+                ctypes.c_long(self._max_ref_span))
         if not h:
             return False
         self._handle = h
         self._lib = lib
         return True
 
-    def feed(self, batch: ReadBatch) -> bool:
+    def feed(self, batch: ReadBatch, i0: int = 0, i1: Optional[int] = None,
+             d_chunk: int = 0) -> bool:
+        """Replay reads [i0, i1) of ``batch`` (whole batch by default).
+        Batches/ranges must arrive in coordinate order."""
         import ctypes
         reads = batch.reads
-        R = len(batch.pos)
+        R_full = len(batch.pos)
+        i1 = R_full if i1 is None else i1
+        R = i1 - i0
         if self._mode is None:
-            self._refid = int(reads.refid[0]) if R else 0
-            self._mode = ("native" if self._start_native(self._refid)
+            self._refid = int(reads.refid[0]) if R_full else 0
+            self._mode = ("native"
+                          if self._start_native(self._refid, d_chunk)
                           else "py")
         if R == 0:
             return True
@@ -483,16 +533,17 @@ class DepositsSession:
             dense, st = run_deposits_py(self.L, batch, self.chr_name_lower,
                                         self.cfg, self.drv, self.scan_start,
                                         dense=self._py_dense,
-                                        st=self._py_state)
+                                        st=self._py_state, i0=i0, i1=i1)
             self._py_dense, self._py_state = dense, st
             self.read_base += R
             return True
 
-        eligible = (batch.keep & (batch.pos >= self.scan_start)) \
+        sl = slice(i0, i1)
+        eligible = (batch.keep[sl] & (batch.pos[sl] >= self.scan_start)) \
             .astype(np.uint8)
         aux = _parse_aux_arrays(batch, self.chr_name_lower.encode(),
                                 eligible.astype(bool) if self.cfg.splitread
-                                else np.zeros(R, bool))
+                                else np.zeros(R, bool), i0=i0, i1=i1)
         holds = []
 
         def p(a, dt):
@@ -502,17 +553,18 @@ class DepositsSession:
 
         rc = self._lib.gn_deposits_feed(
             self._handle, ctypes.c_long(R), ctypes.c_long(self.read_base),
-            p(batch.pos, np.int64), p(batch.flag, np.int32),
-            p(batch.mapq, np.int32), p(batch.mchr, np.int32),
-            p(batch.mpos, np.int64), p(batch.tlen, np.int64),
-            p(batch.lseq, np.int64), p(batch.start_adj, np.int64),
-            p(batch.end_adj, np.int64), p(batch.end_adj_indel, np.int64),
-            p(batch.add, np.int32), p(eligible, np.uint8),
-            p(reads.cigar, np.uint32), p(reads.cigar_off, np.int64),
+            p(batch.pos[sl], np.int64), p(batch.flag[sl], np.int32),
+            p(batch.mapq[sl], np.int32), p(batch.mchr[sl], np.int32),
+            p(batch.mpos[sl], np.int64), p(batch.tlen[sl], np.int64),
+            p(batch.lseq[sl], np.int64), p(batch.start_adj[sl], np.int64),
+            p(batch.end_adj[sl], np.int64),
+            p(batch.end_adj_indel[sl], np.int64),
+            p(batch.add[sl], np.int32), p(eligible, np.uint8),
+            p(reads.cigar, np.uint32), p(reads.cigar_off[i0:], np.int64),
             p(aux[0], np.uint8), p(aux[1], np.int64), p(aux[2], np.uint8),
             p(aux[3], np.int32), p(aux[4], np.int32), p(aux[5], np.int32),
             p(aux[6], np.int32),
-            p(reads.seq, np.uint8), p(reads.seq_off, np.int64))
+            p(reads.seq, np.uint8), p(reads.seq_off[i0:], np.int64))
         if rc != 0:
             self._lib.gn_deposits_abort(self._handle)
             self._handle = None
@@ -520,23 +572,91 @@ class DepositsSession:
         self.read_base += R
         return True
 
-    def rd_gate_partial(self, lo: int, hi: int, carry: int
-                        ) -> Tuple[np.ndarray, int]:
-        """(one_base_rd + indel_sc_rd) over [lo, hi) plus the rd running
-        value to carry into the next call — the device SNV-screen gate,
-        readable mid-stream. Valid once every read with pos < hi + the
-        deposit window's backward reach has been fed (the streamed driver
-        guarantees this by lagging the device scan one chunk behind the
-        deposit feed)."""
-        if self._mode == "py":
-            d = self._py_dense
-            return (d.rd[lo:hi].astype(np.int64)
-                    + d.indel_sc_rd[lo:hi]), carry
-        seg = self._diff[0][lo:hi].astype(np.int64)
-        vals = np.cumsum(seg)
-        vals += carry
-        new_carry = int(vals[-1]) if hi > lo else carry
-        return vals + self._point[14][lo:hi], new_carry
+    def drain(self, upto: int, final: bool = False):
+        """Export finalized dense channels + typed evidence for
+        [drained_to, upto) — (DenseArrays chunk with .base, EvidenceChunk) —
+        or None on engine error. Safe once every read with pos < upto +
+        ``self.back`` has been fed. Span-channel halo values are partial;
+        only point-channel halo entries (and everything below ``upto``) are
+        final."""
+        import ctypes
+
+        from grom_tpu.call.evidence import EvidenceChunk
+        from grom_tpu.native import DepOut
+        if final:
+            upto = self.L
+        p0 = self._drained_to
+        n = upto - p0
+        halo = self.DRAIN_HALO
+        if self._mode == "py" or self._mode is None:
+            dense, ev = self._py_drain(p0, upto, halo, final)
+        else:
+            if not self.windowed:
+                raise RuntimeError("drain requires a windowed session")
+            bufs = [np.zeros(n + halo, np.int32) for _ in range(22)]
+            ptrs = (ctypes.c_void_p * 22)(
+                *[b.ctypes.data_as(ctypes.c_void_p).value for b in bufs])
+            out = ctypes.POINTER(DepOut)()
+            rc = self._lib.gn_deposits_drain(
+                self._handle, ctypes.c_long(upto),
+                ctypes.c_int(1 if final else 0), ctypes.c_long(halo),
+                ptrs, ctypes.byref(out))
+            if rc != 0:
+                if out:
+                    self._lib.gn_deposits_free(out)
+                self._lib.gn_deposits_abort(self._handle)
+                self._handle = None
+                self._mode = "dead"
+                return None
+            ev = EvidenceChunk.from_drain(
+                _arrays_from_dep_out(self._lib, out))
+            dense = _dense_from_buffers(self.L, bufs[:5], bufs[5:])
+            dense.base = p0
+        if self._ev_carry is not None:
+            ev = EvidenceChunk.concat(self._ev_carry, ev)
+            self._ev_carry = None
+        if not final:
+            ev, self._ev_carry = ev.split(upto)
+        self._drained_to = upto
+        return dense, ev
+
+    def _py_drain(self, p0: int, upto: int, halo: int, final: bool):
+        from grom_tpu.call.evidence import EvidenceChunk
+        if self._py_dense is None:
+            self._py_dense = DenseArrays.zeros(self.L)
+            self._py_state = EvidenceState()
+        d = self._py_dense
+        hi = min(upto + halo, self.L)
+        pad = upto + halo - hi
+
+        def cut(a):
+            v = a[p0:hi].astype(np.int32, copy=True)
+            return np.concatenate([v, np.zeros(pad, np.int32)]) if pad else v
+
+        from dataclasses import fields as _fields
+        vals = {}
+        for f in _fields(DenseArrays):
+            if f.name in ("chr_len", "base"):
+                continue
+            vals[f.name] = cut(getattr(d, f.name))
+        dense = DenseArrays(chr_len=self.L, base=p0, **vals)
+        st = self._py_state
+        sub = EvidenceState()
+        if final:
+            sub.primary = st.primary
+            sub.other = st.other
+            st.primary, st.other = {}, {}
+        else:
+            for key in [k for k in st.primary if k[1] < upto]:
+                sub.primary[key] = st.primary.pop(key)
+            for pos_k in [k for k in st.other if k < upto]:
+                sub.other[pos_k] = st.other.pop(pos_k)
+        return dense, EvidenceChunk.from_state(sub)
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.gn_deposits_abort(self._handle)
+            self._handle = None
 
     def finish(self) -> Tuple[DenseArrays, EvidenceState]:
         import ctypes
@@ -728,13 +848,15 @@ def run_deposits_native(chrom_len: int, batch: ReadBatch,
 def run_deposits_py(chrom_len: int, batch: ReadBatch, chr_name_lower: str,
                     cfg: GromConfig, drv: DerivedConfig,
                     scan_start: int, dense: Optional[DenseArrays] = None,
-                    st: Optional[EvidenceState] = None
+                    st: Optional[EvidenceState] = None,
+                    i0: int = 0, i1: Optional[int] = None
                     ) -> Tuple[DenseArrays, EvidenceState]:
     """Replay every kept read's deposits. Returns dense arrays + typed state.
 
     ``dense``/``st`` may be passed in to accumulate across coordinate-sorted
     read chunks (the Python engine's typed state has no window, so chunked
-    replay in record order is identical to one pass)."""
+    replay in record order is identical to one pass). ``i0``/``i1`` restrict
+    the replay to a read-index sub-range of the batch."""
     dense = dense if dense is not None else DenseArrays.zeros(chrom_len)
     st = st if st is not None else EvidenceState()
 
@@ -778,6 +900,9 @@ def run_deposits_py(chrom_len: int, batch: ReadBatch, chr_name_lower: str,
             rd_w.append(1)
 
     eligible = np.flatnonzero(batch.keep & (batch.pos >= scan_start))
+    if i0 > 0 or i1 is not None:
+        i1 = len(batch.pos) if i1 is None else i1
+        eligible = eligible[(eligible >= i0) & (eligible < i1)]
     splitread = cfg.splitread
 
     for ri in eligible:

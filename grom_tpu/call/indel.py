@@ -66,134 +66,140 @@ class DelCandidate:
     end_other_len: int = 0
 
 
-def detect_indels(chrom: np.ndarray, arr: ChromArrays, dense: DenseArrays,
-                  st: EvidenceState, cfg: GromConfig, drv: DerivedConfig,
-                  mq_table: np.ndarray, hez_table: np.ndarray,
-                  scan_start: int, scan_end: int,
-                  base_tot: Optional[np.ndarray] = None
-                  ) -> Tuple[List[InsCandidate], List[DelCandidate], int]:
-    """Returns (ins_candidates, del_candidates, del_list_index).
+class IndelDetector:
+    """Sequential INDEL_INS / INDEL_DEL state machine over sparse indel
+    events. State persists across ``run_chunk`` calls so the streamed driver
+    can feed drained position windows in ascending order; the result is
+    byte-identical to one whole-chromosome pass (the round-3 detect_indels).
 
-    del_list_index mirrors the reference's cdp_indel_d_list_index so the
-    emitter can reproduce the off-by-one (last entry dropped).
-    """
-    af = cfg.add_factor
-    thr1 = cfg.pval_threshold1
-    if base_tot is None:
-        base_tot = (arr.snv.sum(axis=0)
-                    + arr.snv_lowmq.sum(axis=0)).astype(np.int64)
-    gate = (dense.rd + dense.indel_sc_rd) > 0
+    ``d_index`` mirrors the reference's cdp_indel_d_list_index so the emitter
+    can reproduce the off-by-one (last entry dropped)."""
 
-    # candidate positions: any position with primary indel evidence
-    events = []  # (pos, kind) kind: 0=ins, 1=d_f, 2=d_r
-    for (etype, pos), p in st.primary.items():
-        if etype == E_INDEL_I and p.count // af >= 1:
-            events.append((pos, 0, p))
-        elif etype == E_INDEL_D_F:
-            events.append((pos, 1, p))
-        elif etype == E_INDEL_D_R:
-            events.append((pos, 2, p))
-    events.sort(key=lambda t: (t[0], t[1]))
+    def __init__(self, chrom_len: int, cfg: GromConfig, drv: DerivedConfig,
+                 mq_table: np.ndarray, hez_table: np.ndarray):
+        self.L = chrom_len
+        self.cfg = cfg
+        self.drv = drv
+        self.mq = mq_table
+        self.hez = hez_table
+        self.lo_gate = 2 * cfg.overlap_mult * drv.insert_max
+        self.ins_list: List[InsCandidate] = []
+        self.del_list: List[DelCandidate] = []
+        self.d_index = -1
 
-    ins_list: List[InsCandidate] = []
-    del_list: List[DelCandidate] = []
-    d_index = -1
+    def run_chunk(self, ev, dense, lo: int, hi: int,
+                  base_tot: np.ndarray, bt_base: int,
+                  scan_start: int, scan_end: int) -> None:
+        """Consume the indel events of [lo, hi). ``dense`` arrays start at
+        ``dense.base`` (with >= 1 position of final halo past ``hi`` for the
+        sc_left[pos+1] read); ``base_tot`` (per-base SNV totals) starts at
+        ``bt_base``."""
+        cfg, drv = self.cfg, self.drv
+        af = cfg.add_factor
+        thr1 = cfg.pval_threshold1
+        mq_table, hez_table = self.mq, self.hez
+        base = dense.base
+        L = self.L
+        ins_list, del_list = self.ins_list, self.del_list
 
-    L = arr.chr_len
-    for pos, kind, p in events:
-        if pos <= 2 * cfg.overlap_mult * drv.insert_max:
-            continue
-        if pos < scan_start or pos > scan_end or pos >= L:
-            continue
-        if not gate[pos]:
-            continue
-        rd_base = int(base_tot[pos])
-        if kind == 0:
-            i_temp = p.count
-            if i_temp // af > rd_base:
-                i_temp = rd_base * af
-            if i_temp // af < cfg.min_disc or rd_base > cfg.max_trials:
+        for pos, kind, p in ev.indel_events(af):
+            if pos < lo or pos >= hi:
                 continue
-            binom = mq_table[rd_base][i_temp // af]
-            k1 = (i_temp + int(dense.indel_sc_left[pos])) // af
-            if k1 < rd_base:
-                hez = hez_table[rd_base][k1]
-                k2 = (i_temp + int(dense.indel_sc_right[pos])) // af
-                if k2 < rd_base:
-                    if hez_table[rd_base][k2] > hez:
-                        hez = hez_table[rd_base][k2]
+            if pos <= self.lo_gate:
+                continue
+            if pos < scan_start or pos > scan_end or pos >= L:
+                continue
+            pb = pos - base
+            if (dense.rd[pb] + dense.indel_sc_rd[pb]) <= 0:
+                continue
+            rd_base = int(base_tot[pos - bt_base])
+            if kind == 0:
+                i_temp = p.count
+                if i_temp // af > rd_base:
+                    i_temp = rd_base * af
+                if i_temp // af < cfg.min_disc or rd_base > cfg.max_trials:
+                    continue
+                binom = mq_table[rd_base][i_temp // af]
+                k1 = (i_temp + int(dense.indel_sc_left[pb])) // af
+                if k1 < rd_base:
+                    hez = hez_table[rd_base][k1]
+                    k2 = (i_temp + int(dense.indel_sc_right[pb])) // af
+                    if k2 < rd_base:
+                        if hez_table[rd_base][k2] > hez:
+                            hez = hez_table[rd_base][k2]
+                    else:
+                        hez = hez_table[rd_base][rd_base]
                 else:
                     hez = hez_table[rd_base][rd_base]
-            else:
-                hez = hez_table[rd_base][rd_base]
-            if binom <= thr1 and len(ins_list) < cfg.sv_list_len - 1:
-                sc = int(dense.sc_left[pos + 1]) if pos + 1 < L else 0
-                sc += int(dense.sc_right[pos])
-                ins_list.append(InsCandidate(
-                    start=pos, binom=float(binom), hez=float(hez),
-                    dist=int(p.dist), conc=int(dense.conc[pos]), i=i_temp,
-                    rd=rd_base, sc=sc, other_len=st.other_len(pos),
-                    seq=p.seq))
-        elif kind == 1:
-            f_temp = p.count
-            rd_t = f_temp // af + rd_base
-            if f_temp // af < cfg.min_disc or rd_t > cfg.max_trials:
-                continue
-            binom = mq_table[rd_t][f_temp // af]
-            k = (f_temp + int(dense.indel_sc_right[pos])) // af
-            hez = hez_table[rd_t][k] if k < rd_t else hez_table[rd_t][rd_t]
-            if binom > thr1:
-                continue
-            fields = dict(start=pos, start_binom=float(binom),
-                          start_hez=float(hez), start_conc=int(dense.conc[pos]),
-                          f=f_temp, start_rd=rd_t,
-                          start_sc=int(dense.sc_right[pos]),
-                          start_other_len=st.other_len(pos))
-            if d_index == -1:
-                d_index = 0
-                del_list.append(DelCandidate(**fields))
-            else:
-                cur = del_list[d_index]
-                if cur.start != -1 and cur.end != -1:
-                    if d_index < cfg.sv_list_len - 1:
-                        d_index += 1
-                        del_list.append(DelCandidate(**fields))
-                elif (pos - cur.start > drv.read_len and cur.end == -1) or \
-                        binom < cur.start_binom:
-                    old_end = cur.end
-                    for k2, v in fields.items():
-                        setattr(cur, k2, v)
-                    if old_end < cur.start:
-                        cur.end = -1
-                    else:
-                        cur.end = old_end
-        else:  # kind == 2: d_r
-            r_temp = p.count
-            rd_t = r_temp // af + rd_base
-            if d_index < 0 or r_temp // af < cfg.min_disc or rd_t > cfg.max_trials:
-                continue
-            binom = mq_table[rd_t][r_temp // af]
-            k = (r_temp + int(dense.indel_sc_left[pos])) // af
-            hez = hez_table[rd_t][k] if k < rd_t else hez_table[rd_t][rd_t]
-            if binom > thr1:
-                continue
-            cur = del_list[d_index]
-            dist_ok = (float(pos) - float(cur.start) - float(p.dist)) < 5.0
-            set_end = False
-            if dist_ok and cur.start != -1 and cur.end != -1:
-                set_end = True
-            elif dist_ok and (cur.end == -1 or binom < cur.end_binom):
-                set_end = True
-            if set_end:
-                cur.end = pos
-                cur.end_binom = float(binom)
-                cur.end_hez = float(hez)
-                cur.end_conc = int(dense.conc[pos])
-                cur.r = r_temp
-                cur.end_rd = rd_t
-                cur.end_sc = int(dense.sc_left[pos])
-                cur.end_other_len = st.other_len(pos)
-    return ins_list, del_list, d_index
+                if binom <= thr1 and len(ins_list) < cfg.sv_list_len - 1:
+                    sc = int(dense.sc_left[pb + 1]) if pos + 1 < L else 0
+                    sc += int(dense.sc_right[pb])
+                    ins_list.append(InsCandidate(
+                        start=pos, binom=float(binom), hez=float(hez),
+                        dist=int(p.dist), conc=int(dense.conc[pb]), i=i_temp,
+                        rd=rd_base, sc=sc, other_len=ev.other_len(pos),
+                        seq=p.seq))
+            elif kind == 1:
+                f_temp = p.count
+                rd_t = f_temp // af + rd_base
+                if f_temp // af < cfg.min_disc or rd_t > cfg.max_trials:
+                    continue
+                binom = mq_table[rd_t][f_temp // af]
+                k = (f_temp + int(dense.indel_sc_right[pb])) // af
+                hez = hez_table[rd_t][k] if k < rd_t else hez_table[rd_t][rd_t]
+                if binom > thr1:
+                    continue
+                fields = dict(start=pos, start_binom=float(binom),
+                              start_hez=float(hez),
+                              start_conc=int(dense.conc[pb]),
+                              f=f_temp, start_rd=rd_t,
+                              start_sc=int(dense.sc_right[pb]),
+                              start_other_len=ev.other_len(pos))
+                if self.d_index == -1:
+                    self.d_index = 0
+                    del_list.append(DelCandidate(**fields))
+                else:
+                    cur = del_list[self.d_index]
+                    if cur.start != -1 and cur.end != -1:
+                        if self.d_index < cfg.sv_list_len - 1:
+                            self.d_index += 1
+                            del_list.append(DelCandidate(**fields))
+                    elif (pos - cur.start > drv.read_len and cur.end == -1) or \
+                            binom < cur.start_binom:
+                        old_end = cur.end
+                        for k2, v in fields.items():
+                            setattr(cur, k2, v)
+                        if old_end < cur.start:
+                            cur.end = -1
+                        else:
+                            cur.end = old_end
+            else:  # kind == 2: d_r
+                r_temp = p.count
+                rd_t = r_temp // af + rd_base
+                if self.d_index < 0 or r_temp // af < cfg.min_disc \
+                        or rd_t > cfg.max_trials:
+                    continue
+                binom = mq_table[rd_t][r_temp // af]
+                k = (r_temp + int(dense.indel_sc_left[pb])) // af
+                hez = hez_table[rd_t][k] if k < rd_t else hez_table[rd_t][rd_t]
+                if binom > thr1:
+                    continue
+                cur = del_list[self.d_index]
+                dist_ok = (float(pos) - float(cur.start) - float(p.dist)) < 5.0
+                set_end = False
+                if dist_ok and cur.start != -1 and cur.end != -1:
+                    set_end = True
+                elif dist_ok and (cur.end == -1 or binom < cur.end_binom):
+                    set_end = True
+                if set_end:
+                    cur.end = pos
+                    cur.end_binom = float(binom)
+                    cur.end_hez = float(hez)
+                    cur.end_conc = int(dense.conc[pb])
+                    cur.r = r_temp
+                    cur.end_rd = rd_t
+                    cur.end_sc = int(dense.sc_left[pb])
+                    cur.end_other_len = ev.other_len(pos)
 
 
 def _homopolymer_ins(chrom: np.ndarray, start: int) -> int:

@@ -111,6 +111,8 @@ class ChromArrays:
     read_count_all: np.ndarray
     pos_in_read: np.ndarray     # [4, L]
     fstrand: np.ndarray         # [4, L]
+    base: int = 0               # absolute position of array index 0 (chunked
+                                # streaming mode; whole-chromosome runs: 0)
 
 
 def accumulate_chromosome(chrom: np.ndarray, batch: ReadBatch,

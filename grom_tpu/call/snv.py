@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 
@@ -55,17 +55,23 @@ class SnvCandidates:
 def detect_snv_candidates(chrom: np.ndarray, arr: ChromArrays,
                           cfg: GromConfig, mq_table: np.ndarray,
                           hez_table: np.ndarray, scan_start: int,
-                          scan_end: int) -> SnvCandidates:
+                          scan_end: int, lo: Optional[int] = None,
+                          hi: Optional[int] = None) -> SnvCandidates:
     """Candidate selection (src/GROM.c:11126-11199). Returns candidates in
     position order (one per position: the highest-ratio qualifying alt; ties
-    keep the earlier nucleotide)."""
-    L = arr.chr_len
-    lo = max(scan_start, 0)
-    hi = min(scan_end + 1, L)
+    keep the earlier nucleotide).
+
+    ``lo``/``hi`` restrict the screen to an absolute position window (the
+    streamed chunked mode); ``arr``'s arrays may then be chunk-local starting
+    at ``arr.base``."""
+    L = len(chrom)
+    lo = max(scan_start, 0) if lo is None else max(lo, scan_start, 0)
+    hi = min(scan_end + 1, L) if hi is None else min(hi, scan_end + 1, L)
     if hi <= lo:
         return _empty_candidates()
-    sl = slice(lo, hi)
-    ref = chrom[sl]
+    base = arr.base
+    sl = slice(lo - base, hi - base)
+    ref = chrom[lo:hi]
     ref_upper = np.where(ref >= 97, ref - 32, ref)
     not_n = (ref_upper != ord("N"))
     gate = (arr.one_base_rd[sl] + arr.indel_sc_rd[sl]) > 0
@@ -206,14 +212,18 @@ def flush_filter(cand: SnvCandidates, chrom: np.ndarray, arr: ChromArrays,
     flush_size = cfg.sv_list_len - 10
     K = len(cand)
     keep = np.zeros(K, dtype=bool)
+    L = len(chrom)
 
-    ref_upper = np.where(chrom >= 97, chrom - 32, chrom)
-    not_n = ref_upper != ord("N")
-    depth = arr.rd_hi.astype(np.int64) + arr.rd_lo.astype(np.int64)
-
-    # cumulative sums for O(1) range stats
-    c_depth = np.concatenate([[0], np.cumsum(np.where(not_n, depth, 0))])
-    c_bases = np.concatenate([[0], np.cumsum(not_n.astype(np.int64))])
+    def range_stats(a: int, b: int):
+        """(Σ depth over non-N bases, #non-N bases) of [a, b) — incremental
+        slice sums; the round-3 whole-chromosome cumsums were an O(L)
+        16B/base transient."""
+        if b <= a:
+            return 0, 0
+        ref = chrom[a:b]
+        nn = (ref != ord("N")) & (ref != ord("n"))
+        d = arr.rd_hi[a:b].astype(np.int64) + arr.rd_lo[a:b]
+        return int(d[nn].sum()), int(nn.sum())
 
     start_idx = 0
     last_group_pos = 0
@@ -228,9 +238,10 @@ def flush_filter(cand: SnvCandidates, chrom: np.ndarray, arr: ChromArrays,
         else:
             bound = window_base_final(scan_end, scan_start, l0, skipped)
         bound = max(bound, last_group_pos)
-        bound_c = min(bound, arr.chr_len)
-        rc_total += int(c_depth[bound_c] - c_depth[last_group_pos])
-        base_total += int(c_bases[bound_c] - c_bases[last_group_pos])
+        bound_c = min(bound, L)
+        inc_d, inc_b = range_stats(last_group_pos, bound_c)
+        rc_total += inc_d
+        base_total += inc_b
         last_group_pos = bound_c
         ave = (rc_total / base_total) if base_total else math.nan
         thresh = c_round(cfg.snv_rd_min_factor * ave)

@@ -121,20 +121,20 @@ def _scan_range(starts: List[int], lo_target: int, hi_target: int) -> Tuple[int,
 
 
 class SvDetector:
-    """Runs the sequential per-position SV detection."""
+    """Runs the sequential per-position SV detection. State (the candidate
+    lists and the INS state machine) persists across ``run_chunk`` calls, so
+    the streamed driver can feed drained [lo, hi) windows in ascending order
+    and get byte-identical results to one whole-chromosome pass."""
 
-    def __init__(self, chrom_len: int, arr: ChromArrays, dense: DenseArrays,
-                 st: EvidenceState, cfg: GromConfig, drv: DerivedConfig,
+    def __init__(self, chrom_len: int, cfg: GromConfig, drv: DerivedConfig,
                  mq_table, hez_table):
         self.L = chrom_len
-        self.arr = arr
-        self.dense = dense
-        self.st = st
         self.cfg = cfg
         self.drv = drv
         self.mq = mq_table
         self.hez = hez_table
         self.af = cfg.add_factor
+        self.lo_gate = 2 * cfg.overlap_mult * drv.insert_max
 
         self.ins_list: List[SvCandidate] = []
         self.dup_list: List[SvCandidate] = []
@@ -150,106 +150,110 @@ class SvDetector:
 
     # -- helpers ------------------------------------------------------------
 
-    def _side(self, pos: int, binom: float, hez: float, ev: int,
-              p: Optional[Primary]) -> BkptSide:
-        d = self.dense
-        return BkptSide(pos=pos, binom=binom, hez=hez, ev=ev,
-                        rd=int(d.rd[pos]), conc=int(d.conc[pos]),
-                        other_len=self.st.other_len(pos),
+    def _side(self, pos: int, pb: int, d, ev, binom: float, hez: float,
+              evc: int, p) -> BkptSide:
+        return BkptSide(pos=pos, binom=binom, hez=hez, ev=evc,
+                        rd=int(d.rd[pb]), conc=int(d.conc[pb]),
+                        other_len=ev.other_len(pos),
                         read_start=p.rs if p else 0,
                         read_end=p.re if p else 0)
 
     # -- main ---------------------------------------------------------------
 
-    def run(self, scan_start: int, scan_end: int) -> None:
-        cfg, drv, st = self.cfg, self.drv, self.st
+    def run_chunk(self, ev, dense, lo: int, hi: int, scan_start: int,
+                  scan_end: int) -> None:
+        """Detect at the interesting positions of [lo, hi). ``ev`` is the
+        window's EvidenceChunk; ``dense`` the drained DenseArrays whose
+        arrays start at ``dense.base`` (whole-chromosome runs pass base 0)."""
         af = self.af
-        d = self.dense
-        md = cfg.min_disc
-
-        interesting = set()
-        prim: Dict[Tuple[int, int], Primary] = {}
-        for (etype, pos), p in st.primary.items():
-            if etype in (E_DEL_F, E_DEL_R, E_DUP_F, E_DUP_R, E_INV_F1,
-                         E_INV_F2, E_INV_R1, E_INV_R2, E_CTX_F, E_CTX_R):
-                prim[(etype, pos)] = p
-                if p.count // af >= md:
-                    interesting.add(pos)
+        md = self.cfg.min_disc
+        base = dense.base
+        prim_pos = ev.sv_screen_positions(af, md)
+        a = int(np.searchsorted(prim_pos, lo))
+        b = int(np.searchsorted(prim_pos, hi))
+        prim_pos = prim_pos[a:b]
         # INS screen: (sc_left|sc_right + ins)/af >= md
-        sc_mask = np.flatnonzero(
-            ((d.sc_left + d.ins) // af >= md) | ((d.sc_right + d.ins) // af >= md))
-        interesting.update(int(x) for x in sc_mask)
-
-        lo_gate = 2 * cfg.overlap_mult * drv.insert_max
-        for pos in sorted(interesting):
-            if pos <= lo_gate or pos < scan_start or pos > scan_end or pos >= self.L:
+        s0, s1 = lo - base, hi - base
+        scl = dense.sc_left[s0:s1]
+        scr = dense.sc_right[s0:s1]
+        insv = dense.ins[s0:s1]
+        sc_mask = np.flatnonzero(((scl + insv) // af >= md)
+                                 | ((scr + insv) // af >= md)) + lo
+        interesting = np.union1d(prim_pos, sc_mask)
+        for pos in interesting:
+            pos = int(pos)
+            if pos <= self.lo_gate or pos < scan_start or pos > scan_end \
+                    or pos >= self.L:
                 continue
-            self._detect_at(pos, prim)
+            self._detect_at(pos, ev, dense, base)
 
-    def _detect_at(self, pos: int, prim) -> None:
-        cfg, drv, st, af, d = self.cfg, self.drv, self.st, self.af, self.dense
+    def _detect_at(self, pos: int, evd, d, base: int) -> None:
+        cfg, drv, af = self.cfg, self.drv, self.af
         mq_t, hez_t = self.mq, self.hez
         mt = cfg.max_trials
         md = cfg.min_disc
         thr1 = cfg.pval_threshold1
         mean = drv.insert_mean
         lseq = drv.read_len
-        rd = int(d.rd[pos])
+        pb = pos - base
+        rd = int(d.rd[pb])
 
         # ---- INS (soft-clip based), src/GROM.c:11750-11960 ----
-        if rd + d.sc_rd[pos] > 0:
-            sc_l_rd = rd + int(d.sc_left_rd[pos])
-            if (d.sc_left[pos] + d.ins[pos]) // af >= md and sc_l_rd <= mt:
-                k = (int(d.munmapped_r[pos]) + int(d.sc_left[pos]) + int(d.ins[pos])) // af
+        if rd + d.sc_rd[pb] > 0:
+            sc_l_rd = rd + int(d.sc_left_rd[pb])
+            if (d.sc_left[pb] + d.ins[pb]) // af >= md and sc_l_rd <= mt:
+                k = (int(d.munmapped_r[pb]) + int(d.sc_left[pb]) + int(d.ins[pb])) // af
                 binom = float(mq_t[sc_l_rd][k] if k < sc_l_rd else mq_t[sc_l_rd][sc_l_rd])
                 if binom <= cfg.pval_insertion1:
-                    self._ins_update(pos, binom, side="start")
-            sc_r_rd = rd + int(d.sc_right_rd[pos])
-            if (d.sc_right[pos] + d.ins[pos]) // af >= md and sc_r_rd <= mt:
-                k = (int(d.munmapped_f[pos]) + int(d.sc_right[pos]) + int(d.ins[pos])) // af
+                    self._ins_update(pos, pb, d, evd, binom, side="start")
+            sc_r_rd = rd + int(d.sc_right_rd[pb])
+            if (d.sc_right[pb] + d.ins[pb]) // af >= md and sc_r_rd <= mt:
+                k = (int(d.munmapped_f[pb]) + int(d.sc_right[pb]) + int(d.ins[pb])) // af
                 binom = float(mq_t[sc_r_rd][k] if k < sc_r_rd else mq_t[sc_r_rd][sc_r_rd])
                 if binom <= cfg.pval_insertion1:
-                    self._ins_update(pos, binom, side="end")
+                    self._ins_update(pos, pb, d, evd, binom, side="end")
 
         if rd <= 0:
             return
 
+        blk_a, blk_b = evd.block(pos)
+
         def get(etype):
-            return prim.get((etype, pos))
+            return evd.get_block(blk_a, blk_b, etype)
 
         # ---- CTX_F / CTX_R, src/GROM.c:11966-12128 ----
         p = get(E_CTX_F)
         if p and p.count // af >= md and pos - p.re < mean:
             binom, hez = _binom_pair(rd, p.count,
-                                     int(d.sc_right[pos]) + int(d.munmapped_f[pos]),
+                                     int(d.sc_right[pb]) + int(d.munmapped_f[pb]),
                                      mq_t, hez_t, af, mt)
             if binom <= thr1 and len(self.ctx_f_list) < cfg.sv_list_len - 1:
                 self.ctx_f_list.append(CtxCandidate(
-                    pos, binom, hez, p.count, rd, int(d.conc[pos]),
-                    st.other_len(pos), p.mchr, int(p.dist), p.rs, p.re))
+                    pos, binom, hez, p.count, rd, int(d.conc[pb]),
+                    evd.other_len(pos), p.mchr, int(p.dist), p.rs, p.re))
         p = get(E_CTX_R)
         if p and p.count // af >= md and p.rs + lseq - pos < mean:
             pf = prim.get((E_CTX_F, pos))
             ctx_f_here = pf.count if pf else 0
             binom, hez = _binom_pair(
-                rd, p.count, int(d.sc_left[pos]) + int(d.munmapped_r[pos]),
+                rd, p.count, int(d.sc_left[pb]) + int(d.munmapped_r[pb]),
                 mq_t, hez_t, af, mt,
-                gate_weak=int(d.sc_right[pos]) + int(d.munmapped_f[pos]),
+                gate_weak=int(d.sc_right[pb]) + int(d.munmapped_f[pb]),
                 gate_strong=ctx_f_here)
             if binom <= thr1 and len(self.ctx_r_list) < cfg.sv_list_len - 1:
                 self.ctx_r_list.append(CtxCandidate(
-                    pos, binom, hez, p.count, rd, int(d.conc[pos]),
-                    st.other_len(pos), p.mchr, int(p.dist), p.rs, p.re))
+                    pos, binom, hez, p.count, rd, int(d.conc[pb]),
+                    evd.other_len(pos), p.mchr, int(p.dist), p.rs, p.re))
 
         # ---- DUP start (dup_r), src/GROM.c:12128-12205 ----
         p = get(E_DUP_R)
         if p and p.count // af >= md and p.rs + lseq - pos < mean:
             binom, hez = _binom_pair(rd, p.count,
-                                     int(d.sc_left[pos]) + int(d.munmapped_r[pos]),
+                                     int(d.sc_left[pb]) + int(d.munmapped_r[pb]),
                                      mq_t, hez_t, af, mt)
             if binom <= thr1 and len(self.dup_list) < cfg.sv_list_len - 1:
                 c = SvCandidate()
-                c.start = self._side(pos, binom, hez, p.count, p)
+                c.start = self._side(pos, pb, d, evd, binom, hez, p.count, p)
                 c.dist = float(p.dist)
                 self.dup_list.append(c)
                 self.dup_starts.append(pos)
@@ -258,7 +262,7 @@ class SvDetector:
         p = get(E_DUP_F)
         if p and p.count // af >= md and pos - p.re < mean:
             binom, hez = _binom_pair(rd, p.count,
-                                     int(d.sc_right[pos]) + int(d.munmapped_f[pos]),
+                                     int(d.sc_right[pb]) + int(d.munmapped_f[pb]),
                                      mq_t, hez_t, af, mt)
             if binom <= thr1:
                 tolw = cfg.range_mult_tol(drv)
@@ -273,17 +277,17 @@ class SvDetector:
                         e = c.end
                         if ((e.binom > binom and p.count >= e.ev) or e.pos == -1
                                 or (e.binom == binom and p.count > e.ev)):
-                            c.end = self._side(pos, binom, hez, p.count, p)
+                            c.end = self._side(pos, pb, d, evd, binom, hez, p.count, p)
 
         # ---- DEL start (del_f), src/GROM.c:12474-12553 ----
         p = get(E_DEL_F)
         if p and p.count // af >= md and pos - p.re < mean:
             binom, hez = _binom_pair(rd, p.count,
-                                     int(d.sc_right[pos]) + int(d.munmapped_f[pos]),
+                                     int(d.sc_right[pb]) + int(d.munmapped_f[pb]),
                                      mq_t, hez_t, af, mt)
             if binom <= thr1 and len(self.del_list) < cfg.sv_list_len - 1:
                 c = SvCandidate()
-                c.start = self._side(pos, binom, hez, p.count, p)
+                c.start = self._side(pos, pb, d, evd, binom, hez, p.count, p)
                 c.dist = float(p.dist)
                 self.del_list.append(c)
                 self.del_starts.append(pos)
@@ -292,7 +296,7 @@ class SvDetector:
         p = get(E_DEL_R)
         if p and p.count // af >= md and p.rs + lseq - pos < mean:
             binom, hez = _binom_pair(rd, p.count,
-                                     int(d.sc_left[pos]) + int(d.munmapped_r[pos]),
+                                     int(d.sc_left[pb]) + int(d.munmapped_r[pb]),
                                      mq_t, hez_t, af, mt)
             if binom <= thr1:
                 tolw = cfg.range_mult_tol(drv)
@@ -309,24 +313,24 @@ class SvDetector:
                         # >= (src/GROM.c:12785) — the LAST tied position wins
                         if ((e.binom > binom and p.count >= e.ev) or e.pos == -1
                                 or (e.binom == binom and p.count >= e.ev)):
-                            c.end = self._side(pos, binom, hez, p.count, p)
+                            c.end = self._side(pos, pb, d, evd, binom, hez, p.count, p)
 
         # ---- INV_F start/end, src/GROM.c:12848-13196 ----
         p = get(E_INV_F1)
         if p and p.count // af >= md and pos - p.re < mean:
             binom, hez = _binom_pair(rd, p.count,
-                                     int(d.sc_right[pos]) + int(d.munmapped_f[pos]),
+                                     int(d.sc_right[pb]) + int(d.munmapped_f[pb]),
                                      mq_t, hez_t, af, mt)
             if binom <= thr1 and len(self.inv_f_list) < cfg.sv_list_len - 1:
                 c = SvCandidate()
-                c.start = self._side(pos, binom, hez, p.count, p)
+                c.start = self._side(pos, pb, d, evd, binom, hez, p.count, p)
                 c.dist = float(p.dist)
                 self.inv_f_list.append(c)
                 self.inv_f_starts.append(pos)
         p = get(E_INV_F2)
         if p and p.count // af >= md and pos - p.re < mean:
             binom, hez = _binom_pair(rd, p.count,
-                                     int(d.sc_right[pos]) + int(d.munmapped_f[pos]),
+                                     int(d.sc_right[pb]) + int(d.munmapped_f[pb]),
                                      mq_t, hez_t, af, mt)
             if binom <= thr1:
                 tolw = cfg.range_mult_tol(drv)
@@ -341,24 +345,24 @@ class SvDetector:
                         e = c.end
                         if ((e.binom > binom and p.count >= e.ev) or e.pos == -1
                                 or (e.binom == binom and p.count > e.ev)):
-                            c.end = self._side(pos, binom, hez, p.count, p)
+                            c.end = self._side(pos, pb, d, evd, binom, hez, p.count, p)
 
         # ---- INV_R start/end, src/GROM.c:13197-13553 ----
         p = get(E_INV_R1)
         if p and p.count // af >= md and p.rs + lseq - pos < mean:
             binom, hez = _binom_pair(rd, p.count,
-                                     int(d.sc_left[pos]) + int(d.munmapped_r[pos]),
+                                     int(d.sc_left[pb]) + int(d.munmapped_r[pb]),
                                      mq_t, hez_t, af, mt)
             if binom <= thr1 and len(self.inv_r_list) < cfg.sv_list_len - 1:
                 c = SvCandidate()
-                c.start = self._side(pos, binom, hez, p.count, p)
+                c.start = self._side(pos, pb, d, evd, binom, hez, p.count, p)
                 c.dist = float(p.dist)
                 self.inv_r_list.append(c)
                 self.inv_r_starts.append(pos)
         p = get(E_INV_R2)
         if p and p.count // af >= md and p.rs + lseq - pos < mean:
             binom, hez = _binom_pair(rd, p.count,
-                                     int(d.sc_left[pos]) + int(d.munmapped_r[pos]),
+                                     int(d.sc_left[pb]) + int(d.munmapped_r[pb]),
                                      mq_t, hez_t, af, mt)
             if binom <= thr1:
                 tolw = cfg.range_mult_tol(drv)
@@ -373,15 +377,16 @@ class SvDetector:
                         e = c.end
                         if ((e.binom > binom and p.count >= e.ev) or e.pos == -1
                                 or (e.binom == binom and p.count > e.ev)):
-                            c.end = self._side(pos, binom, hez, p.count, p)
+                            c.end = self._side(pos, pb, d, evd, binom, hez, p.count, p)
 
     # -- INS state machine (shared index), src/GROM.c:11765-11960 ----------
 
-    def _ins_update(self, pos: int, binom: float, side: str) -> None:
-        cfg, d, st = self.cfg, self.dense, self.st
-        fields = BkptSide(pos=pos, binom=binom, ev=int(d.ins[pos]),
-                          rd=int(d.rd[pos]), conc=int(d.conc[pos]),
-                          other_len=st.other_len(pos))
+    def _ins_update(self, pos: int, pb: int, d, evd, binom: float,
+                    side: str) -> None:
+        cfg = self.cfg
+        fields = BkptSide(pos=pos, binom=binom, ev=int(d.ins[pb]),
+                          rd=int(d.rd[pb]), conc=int(d.conc[pb]),
+                          other_len=evd.other_len(pos))
         lst = self.ins_list
         if not lst:
             c = SvCandidate()
@@ -562,19 +567,22 @@ def format_inv_rows(chr_name, inv_f2, inv_r2, arr: ChromArrays, cfg,
     """INV emission with cross-family dedup and flank depth symmetry filter
     (src/GROM.c:15896-16010). INV_F ties beat INV_R."""
     rows = []
-    depth = arr.rd_hi.astype(np.int64) + arr.rd_lo.astype(np.int64)
-    cdep = np.concatenate([[0], np.cumsum(depth)])
     lseq = drv.read_len
     L = arr.chr_len
     lim = drv.insert_max - 2 * lseq
 
     def flank_ave(rs, re):
+        # per-candidate slice sum (exact int64) — the round-3 whole-
+        # chromosome depth cumsum was an O(L) 8B/base transient
         a = max(min(rs, L), 0)
         b = max(min(re + lseq, L), 0)
         n = re + lseq - rs
         if n == 0:
             return math.nan
-        return float(cdep[b] - cdep[a]) / n
+        x, y, sgn = (a, b, 1) if b >= a else (b, a, -1)
+        tot = sgn * (int(arr.rd_hi[x:y].astype(np.int64).sum())
+                     + int(arr.rd_lo[x:y].astype(np.int64).sum()))
+        return float(tot) / n
 
     def rd_sym(c):
         r1 = flank_ave(c.start.read_start, c.start.read_end)

@@ -303,11 +303,13 @@ class DeviceAccumulator:
 
     def run(self, chrom: np.ndarray, batch, eligible: np.ndarray, cfg,
             gate: np.ndarray, lo: int = 0, hi: int = 0,
-            base_tot_out: np.ndarray = None):
+            base_tot_out: np.ndarray = None, gate_base: int = 0,
+            base_tot_base: int = 0):
         """``lo``/``hi`` restrict processing to a position range (the
         streamed chunked mode — spans are clipped at the range edges exactly
         like tile edges); ``base_tot_out`` accumulates base_tot in place
-        across chunked calls."""
+        across chunked calls. ``gate``/``base_tot_out`` may be chunk-local
+        arrays whose index 0 is ``gate_base``/``base_tot_base``."""
         import jax.numpy as jnp
         reads = batch.reads
         if reads.name_id is None or reads.name_len is None:
@@ -430,7 +432,8 @@ class DeviceAccumulator:
                                     TILE_L + 1)),
                 jnp.asarray(_pad_to(np.append(is_n[t0:t1], True),
                                     TILE_L + 1, True)),
-                jnp.asarray(_pad_to(gate_u8[t0:t1], TILE_L)),
+                jnp.asarray(_pad_to(gate_u8[t0 - gate_base:t1 - gate_base],
+                                    TILE_L)),
                 jnp.float32(cfg.min_snv_ratio),
                 jnp.int32(S),
                 min_mapq=cfg.min_mapq, min_bq=cfg.min_base_qual,
@@ -452,7 +455,8 @@ class DeviceAccumulator:
                 if sub is None or sub2 is None:
                     return False
                 return all(collect(e) for e in sub + sub2)
-            base_tot[t0:t1] = np.asarray(bt)[:t1 - t0]
+            base_tot[t0 - base_tot_base:t1 - base_tot_base] = \
+                np.asarray(bt)[:t1 - t0]
             if n_cand:
                 part = {k: np.asarray(v) for k, v in cand.items()}
                 part["pos"] = part["pos"][:n_cand].astype(np.int64) + t0

@@ -176,7 +176,8 @@ class MeshAccumulator:
             gate: np.ndarray, lo: int = 0, hi: int = 0,
             base_tot_out: Optional[np.ndarray] = None,
             rd_out: Optional[Tuple[np.ndarray, np.ndarray,
-                                   np.ndarray]] = None):
+                                   np.ndarray]] = None,
+            gate_base: int = 0, base_tot_base: int = 0):
         """``lo``/``hi`` restrict processing to a position range — the
         streamed chunked mode (src/GROM.c:75-78's sub-region halo,
         re-expressed as exact span clipping at range edges). Because spans
@@ -278,7 +279,8 @@ class MeshAccumulator:
             batch_cells = cells[lo_c:lo_c + self.n_cells_launch]
             stacked = self._stack_cells(batch_cells, seg_l, caps, cfg,
                                         reads, elig_u8, gate_u8, up, is_n,
-                                        seq_off64, d_pos, d_mq, d_hi, d_lo)
+                                        seq_off64, d_pos, d_mq, d_hi, d_lo,
+                                        gate_base)
             reshaped = [a.reshape((self.n_dp, self.n_sp) + a.shape[1:])
                         for a in stacked]
             if not self.multihost:
@@ -325,7 +327,7 @@ class MeshAccumulator:
             for i, cell in enumerate(batch_cells):
                 t0, t1 = cell[0], cell[1]
                 w = t1 - t0
-                base_tot[t0:t1] = bt[i, :w]
+                base_tot[t0 - base_tot_base:t1 - base_tot_base] = bt[i, :w]
                 # rd depth already includes the in-launch all_gather carry
                 # plus the cross-launch carry_in added on device
                 rd_mq[t0:t1] = r_mq[i, :w]
@@ -370,7 +372,8 @@ class MeshAccumulator:
         return dev
 
     def _stack_cells(self, batch_cells, seg_l, caps, cfg, reads, elig_u8,
-                     gate_u8, up, is_n, seq_off64, d_pos, d_mq, d_hi, d_lo):
+                     gate_u8, up, is_n, seq_off64, d_pos, d_mq, d_hi, d_lo,
+                     gate_base=0):
         S_B, E_B, M_B, K_B, R_B, Q_B, D_B = caps
         n = self.n_cells_launch
         arrs = {name: [] for name in range(24)}
@@ -418,7 +421,7 @@ class MeshAccumulator:
                 _pad_to(reads.name_len[r0:r1].astype(np.uint8), R_B + 1),
                 _pad_to(np.append(up[t0:t1], np.uint8(0)), seg_l + 1),
                 _pad_to(np.append(is_n[t0:t1], True), seg_l + 1, True),
-                _pad_to(gate_u8[t0:t1], seg_l),
+                _pad_to(gate_u8[t0 - gate_base:t1 - gate_base], seg_l),
                 np.int32(S),
                 np.float32(cfg.min_snv_ratio),
                 _pad_to((d_pos[dlo_i:dhi_i] - t0).astype(np.int32), D_B,
