@@ -146,12 +146,16 @@ def accumulate_chromosome(chrom: np.ndarray, batch: ReadBatch,
 
 def _accumulate_native(arr: ChromArrays, chrom, batch, eligible, cfg,
                        lo: int = 0, hi: int = 0,
-                       finalize: bool = True) -> bool:
+                       finalize: bool = True,
+                       span_mask: Optional[np.ndarray] = None) -> bool:
     """Native single-pass tally (native/grom_scan.c). True on success.
     Bit-identical to the Python path by tests/test_native_scan.py.
     ``lo``/``hi`` gate deposits to a position range and ``finalize`` defers
     the rd-list prefix sums — the streaming-session form (chunked feeds of
-    overlapping reads into shared arrays)."""
+    overlapping reads into shared arrays). ``arr``'s SNV-family arrays may
+    be chunk-local (arr.base > 0; rd_* stay whole-chromosome); ``span_mask``
+    pre-subsets the M-span table to the spans intersecting [lo, hi) so
+    repeated chunk calls don't re-walk the whole batch."""
     import ctypes
 
     from grom_tpu.native import get_lib
@@ -195,10 +199,17 @@ def _accumulate_native(arr: ChromArrays, chrom, batch, eligible, cfg,
     def outp(a):
         return a.ctypes.data_as(ctypes.c_void_p)
 
-    span_read = np.ascontiguousarray(batch.span_read, np.int32)
-    span_ref = np.ascontiguousarray(batch.span_ref, np.int64)
-    span_roff = np.ascontiguousarray(batch.span_readoff, np.int64)
-    span_len = np.ascontiguousarray(batch.span_len, np.int64)
+    if span_mask is not None:
+        span_read = np.ascontiguousarray(batch.span_read[span_mask], np.int32)
+        span_ref = np.ascontiguousarray(batch.span_ref[span_mask], np.int64)
+        span_roff = np.ascontiguousarray(batch.span_readoff[span_mask],
+                                         np.int64)
+        span_len = np.ascontiguousarray(batch.span_len[span_mask], np.int64)
+    else:
+        span_read = np.ascontiguousarray(batch.span_read, np.int32)
+        span_ref = np.ascontiguousarray(batch.span_ref, np.int64)
+        span_roff = np.ascontiguousarray(batch.span_readoff, np.int64)
+        span_len = np.ascontiguousarray(batch.span_len, np.int64)
     common = [
         p(eligible, np.uint8),
         p(batch.mapq, np.int32), p(batch.flag, np.int32),
@@ -216,9 +227,12 @@ def _accumulate_native(arr: ChromArrays, chrom, batch, eligible, cfg,
         outp(arr.pos_in_read), outp(arr.fstrand),
         outp(arr.rd_mq), outp(arr.rd_hi), outp(arr.rd_lo)]
 
+    stride = arr.snv.shape[1]
+
     def call(sr, sf, so, sl, glo, ghi, parts, fin):
         prm = np.array([L, cfg.min_mapq, cfg.min_base_qual, cfg.min_snv, 50,
-                        glo, ghi, 1 if fin else 0, parts], np.int64)
+                        glo, ghi, 1 if fin else 0, parts,
+                        arr.base, stride], np.int64)
         return lib.gn_snv_accumulate(
             ctypes.c_long(len(sl)),
             sr.ctypes.data_as(ctypes.c_void_p),
@@ -399,7 +413,7 @@ def _accumulate_snv_chunk(arr, chrom, batch, eligible, cfg, span_lo, span_hi,
     lo = gate & ~hi & (code >= 0)
 
     # --- composite count bincount: rows 0-3 hi by nt, 4-7 lowmq by nt, 8 dump
-    sl = slice(pmin, pmin + band)
+    sl = slice(pmin - arr.base, pmin - arr.base + band)
     code_c = np.maximum(code, np.int8(0))
     cls = np.where(counted_hi, code_c,
                    np.where(lo, code_c + np.int8(4), np.int8(8)))

@@ -127,15 +127,20 @@ def detect_snv_candidates(chrom: np.ndarray, arr: ChromArrays,
 
 def candidates_from_device(dev: dict, chrom: np.ndarray, cfg: GromConfig,
                            mq_table: np.ndarray, hez_table: np.ndarray,
-                           scan_start: int, scan_end: int) -> SnvCandidates:
+                           scan_start: int, scan_end: int,
+                           lo: Optional[int] = None,
+                           hi: Optional[int] = None) -> SnvCandidates:
     """Finish the device SNV screen (ops/accumulate.py): the device returns a
     SUPERSET of candidate positions with exact integer stats; re-derive the
     reference's float32 ratio / ave-bq / best-alt decisions here in numpy
-    (bit-identical to detect_snv_candidates)."""
+    (bit-identical to detect_snv_candidates). ``lo``/``hi`` restrict to an
+    absolute position window (chunked streaming)."""
     n = int(dev["n"])
+    if n == 0:
+        return _empty_candidates()
     L = len(chrom)
-    lo = max(scan_start, 0)
-    hi = min(scan_end + 1, L)
+    lo = max(scan_start, 0) if lo is None else max(lo, scan_start, 0)
+    hi = min(scan_end + 1, L) if hi is None else min(hi, scan_end + 1, L)
     pos = dev["pos"][:n].astype(np.int64)
     sel0 = np.flatnonzero((pos >= lo) & (pos < hi))
     if len(sel0) == 0:
@@ -196,6 +201,33 @@ def _empty_candidates() -> SnvCandidates:
     z4 = np.empty((4, 0), np.int64)
     return SnvCandidates(z, np.empty(0, np.int8), np.empty(0), np.empty(0),
                          np.empty(0), z4, z4, z, z, z, z, z, z, z, z, z)
+
+
+def concat_candidates(parts: List[SnvCandidates]) -> SnvCandidates:
+    """Concatenate per-chunk candidate batches (ascending position order)."""
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return _empty_candidates()
+    if len(parts) == 1:
+        return parts[0]
+    cat = np.concatenate
+    return SnvCandidates(
+        pos=cat([p.pos for p in parts]),
+        alt=cat([p.alt for p in parts]),
+        ratio=cat([p.ratio for p in parts]),
+        binom_cdf=cat([p.binom_cdf for p in parts]),
+        hez_cdf=cat([p.hez_cdf for p in parts]),
+        counts=cat([p.counts for p in parts], axis=1),
+        lowmq=cat([p.lowmq for p in parts], axis=1),
+        bq_all=cat([p.bq_all for p in parts]),
+        mq_all=cat([p.mq_all for p in parts]),
+        bq=cat([p.bq for p in parts]),
+        mq=cat([p.mq for p in parts]),
+        bq_read_count=cat([p.bq_read_count for p in parts]),
+        mq_read_count=cat([p.mq_read_count for p in parts]),
+        read_count_all=cat([p.read_count_all for p in parts]),
+        pos_in_read=cat([p.pos_in_read for p in parts]),
+        fstrand=cat([p.fstrand for p in parts]))
 
 
 def flush_filter(cand: SnvCandidates, chrom: np.ndarray, arr: ChromArrays,

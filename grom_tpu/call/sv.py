@@ -233,7 +233,7 @@ class SvDetector:
                     evd.other_len(pos), p.mchr, int(p.dist), p.rs, p.re))
         p = get(E_CTX_R)
         if p and p.count // af >= md and p.rs + lseq - pos < mean:
-            pf = prim.get((E_CTX_F, pos))
+            pf = get(E_CTX_F)
             ctx_f_here = pf.count if pf else 0
             binom, hez = _binom_pair(
                 rd, p.count, int(d.sc_left[pb]) + int(d.munmapped_r[pb]),

@@ -552,6 +552,75 @@ def _subset_reads(reads: bam_mod.RawReads, sel: np.ndarray) -> bam_mod.RawReads:
     )
 
 
+class _ChunkDetect:
+    """Chunk-local detection pipeline for one chromosome: drained dense/
+    evidence/tally windows go in (ascending, possibly partial ranges), the
+    detector state machines advance, and only sparse candidates survive.
+    This is what bounds detection memory to O(detect-chunk) instead of
+    O(chromosome) (the reference's insert-sized sliding window,
+    src/GROM.c:5846-6402, at chunk granularity)."""
+
+    def __init__(self, chrom, cfg, drv, mq_table, hez_table, scan_start):
+        from collections import deque
+
+        from grom_tpu.call import indel as indel_mod
+        from grom_tpu.call import sv as sv_mod
+        self.chrom = chrom
+        self.cfg = cfg
+        self.drv = drv
+        self.mq = mq_table
+        self.hez = hez_table
+        self.scan_start = scan_start
+        L = len(chrom)
+        self.sv = sv_mod.SvDetector(L, cfg, drv, mq_table, hez_table)
+        self.indel = indel_mod.IndelDetector(L, cfg, drv, mq_table, hez_table)
+        self.snv_parts: List = []
+        self.windows = deque()    # dicts: lo, hi, dense, ev, snv (arr|dev), bt
+        self.det_lo = 0
+
+    def add_window(self, lo, hi, dense, ev, snv_src, base_tot):
+        self.windows.append(dict(lo=lo, hi=hi, dense=dense, ev=ev,
+                                 snv=snv_src, bt=base_tot))
+
+    def process(self, upper: int, scan_end: int) -> None:
+        """Detect every position in [det_lo, upper) from the queued windows.
+        ``upper`` must not exceed the drained bound; during streaming it is
+        last_read_pos - IM + 1 (positions at or below that are guaranteed
+        <= the final scan_end, so eager detection is exact)."""
+        from grom_tpu.utils.timing import phase
+        while self.windows and self.det_lo < upper:
+            w = self.windows[0]
+            lo = max(w["lo"], self.det_lo)
+            hi = min(w["hi"], upper)
+            if hi > lo:
+                head, w["ev"] = w["ev"].split(hi)
+                with phase("call.snv"):
+                    if isinstance(w["snv"], dict):
+                        cand = snv_mod.candidates_from_device(
+                            w["snv"], self.chrom, self.cfg, self.mq,
+                            self.hez, self.scan_start, scan_end,
+                            lo=lo, hi=hi)
+                    else:
+                        cand = snv_mod.detect_snv_candidates(
+                            self.chrom, w["snv"], self.cfg, self.mq,
+                            self.hez, self.scan_start, scan_end,
+                            lo=lo, hi=hi)
+                if len(cand):
+                    self.snv_parts.append(cand)
+                with phase("call.sv_detect"):
+                    self.sv.run_chunk(head, w["dense"], lo, hi,
+                                      self.scan_start, scan_end)
+                with phase("call.indel"):
+                    self.indel.run_chunk(head, w["dense"], lo, hi,
+                                         w["bt"], w["dense"].base,
+                                         self.scan_start, scan_end)
+                self.det_lo = hi
+            if w["hi"] <= upper:
+                self.windows.popleft()    # fully consumed: free the arrays
+            else:
+                break
+
+
 def call_chromosome_streamed(chrom: np.ndarray, refid: int, out_name: str,
                              cfg: GromConfig, drv: DerivedConfig,
                              mq_table: np.ndarray, hez_table: np.ndarray,
@@ -559,19 +628,22 @@ def call_chromosome_streamed(chrom: np.ndarray, refid: int, out_name: str,
                              chunk_bases: Optional[int] = None,
                              region_start: int = 0, mesh=None
                              ) -> Optional[Tuple[List[str], List[str]]]:
-    """Bounded-memory per-chromosome calling: reads are fetched, decoded and
-    consumed in genome-position CHUNKS (``fetch(t0, t1) -> RawReads``
-    overlapping [t0, t1)), so peak read memory is one chunk, not one
-    chromosome — the streaming re-expression of the reference's read ring
-    (src/GROM.c:82-324, which never holds more than 50k reads).
+    """Bounded-memory per-chromosome calling: reads are fetched in
+    genome-position INGEST chunks (``fetch(t0, t1) -> RawReads`` overlapping
+    [t0, t1)), deposits/tallies are fed in DETECT sub-chunks, and detection
+    runs chunk-locally with a one-sub-chunk lag — peak memory is
+    O(ingest chunk) for reads plus O(detect chunk) for the dense evidence
+    window, independent of chromosome length. This is the streaming
+    re-expression of the reference's read ring (src/GROM.c:82-324) plus its
+    insert-sized sliding evidence window (src/GROM.c:5846-6402).
 
-    Exactness: deposits are fed the reads whose POS falls in each chunk
-    (record order preserved — the typed evidence state is order-dependent);
-    the per-base scan is fed every read OVERLAPPING the chunk with deposits
-    gated to the chunk's positions (position-local statistics, including the
-    read-name dedup, see every event of every position exactly once). The
-    device engine lags one chunk behind the deposit feed so its SNV-screen
-    gate (one_base_rd + indel_sc_rd) is final for the chunk it screens.
+    Exactness: a sub-chunk's dense channels and typed evidence are final
+    once deposits have been fed past its end plus the engine's backward
+    reach (one-sub-chunk lag covers it); detection at a position is run only
+    once last_read_pos - IM has passed it, so the trailing-edge rule
+    (scan_end) is honored without knowing EOF in advance. All candidate
+    state machines persist across chunks — byte-identical to one
+    whole-chromosome pass (tests/test_streamed.py).
 
     Returns None when a streaming engine cannot handle the data (freak
     CIGARs overflowing the deposit ring) — the caller must redo the
@@ -591,21 +663,14 @@ def call_chromosome_streamed(chrom: np.ndarray, refid: int, out_name: str,
     if region_start > 0:
         scan_start = max(scan_start, region_start - cfg.sub_region_overlap)
     im = cfg.overlap_mult * drv.insert_max
-    # the device gate lag is sound only when a chunk spans the deposit
-    # window's backward reach
-    C = max(C, 8 * (drv.insert_max + 4 * drv.read_len))
 
-    dep = DepositsSession(L, out_name, cfg, drv, scan_start)
-    z0 = np.zeros(0, np.int64)
-    z4 = np.zeros((4, 0), np.int64)
+    dep = DepositsSession(L, out_name, cfg, drv, scan_start, windowed=True)
+    D = int(os.environ.get("GROM_TPU_DETECT_BASES", str(4 << 20)))
+    D = max(min(D, C), dep.back + dep.DRAIN_HALO + 1)
+    C = max(C, D)
+
+    acc = None
     if device:
-        arr = scan_mod.ChromArrays(
-            chr_len=L, rd_mq=np.zeros(L, np.int64),
-            rd_hi=np.zeros(L, np.int32), rd_lo=np.zeros(L, np.int32),
-            one_base_rd=None, indel_sc_rd=None, sc_rd=None,
-            snv=z4, snv_lowmq=z4, bq=z0, bq_all=z0, mq=z0, mq_all=z0,
-            bq_read_count=z0, mq_read_count=z0, read_count_all=z0,
-            pos_in_read=z4, fstrand=z4)
         if mesh_mode:
             from grom_tpu.parallel.pipeline import (MeshAccumulator,
                                                     get_mesh_accumulator)
@@ -616,55 +681,72 @@ def call_chromosome_streamed(chrom: np.ndarray, refid: int, out_name: str,
             acc = get_accumulator()
         if acc is None:
             return None
-        base_tot = np.zeros(L, np.int64)
-        cand_parts: List[dict] = []
-    else:
-        arr = scan_mod.ChromArrays(
-            chr_len=L, rd_mq=np.zeros(L, np.int64),
-            rd_hi=np.zeros(L, np.int32), rd_lo=np.zeros(L, np.int32),
-            one_base_rd=None, indel_sc_rd=None, sc_rd=None,
-            snv=np.zeros((4, L), np.int32),
-            snv_lowmq=np.zeros((4, L), np.int32),
-            bq=np.zeros(L, np.int32), bq_all=np.zeros(L, np.int32),
-            mq=np.zeros(L, np.int32), mq_all=np.zeros(L, np.int32),
-            bq_read_count=np.zeros(L, np.int32),
-            mq_read_count=np.zeros(L, np.int32),
-            read_count_all=np.zeros(L, np.int32),
-            pos_in_read=np.zeros((4, L), np.int32),
-            fstrand=np.zeros((4, L), np.int32))
-        base_tot = None
 
-    scan_native = None     # engine choice pinned on first chunk
+    # whole-chromosome per-base state is ONLY the depth lists (the CNV
+    # engine's inputs — the reference holds the same, src/GROM.c:6605-6664)
+    rd_mq = np.zeros(L, np.int64)
+    rd_hi = np.zeros(L, np.int32)
+    rd_lo = np.zeros(L, np.int32)
+
+    det = _ChunkDetect(chrom, cfg, drv, mq_table, hez_table, scan_start)
+    scan_native = None     # host tally engine pinned on first chunk
     skipped = 0
     last_pos = -1
-    pending = None         # (lo, hi, batch) device job lagging one chunk
-    gate_carry = 0
+    fed = []               # (d0, d1, batch, elig) fed but not yet drained
+    halo = dep.DRAIN_HALO
 
-    def run_device(job):
-        nonlocal gate_carry
-        lo_j, hi_j, jbatch = job
-        gate, gate_carry = dep.rd_gate_partial(lo_j, hi_j, gate_carry)
-        gate_full = np.zeros(L, np.int64)
-        gate_full[lo_j:hi_j] = gate
-        elig_j = jbatch.keep & (jbatch.pos >= scan_start)
-        if mesh_mode:
-            # sharded per-chunk accumulate: rd depth computed device-side
-            # with the all_gather'd carry, exact by span clipping at the
-            # chunk edges (parallel/pipeline.py run)
-            res = acc.run(chrom, jbatch, elig_j, cfg, gate_full,
-                          lo=lo_j, hi=hi_j, base_tot_out=base_tot,
-                          rd_out=(arr.rd_mq, arr.rd_hi, arr.rd_lo))
-            if res is None:
-                return False
-            dev = res[1]
+    def snv_chunk_arrays(d0, d1):
+        band = d1 - d0 + halo
+        z = lambda dt: np.zeros(band, dt)
+        z4 = lambda dt: np.zeros((4, band), dt)
+        return scan_mod.ChromArrays(
+            chr_len=L, rd_mq=rd_mq, rd_hi=rd_hi, rd_lo=rd_lo,
+            one_base_rd=None, indel_sc_rd=None, sc_rd=None,
+            snv=z4(np.int32), snv_lowmq=z4(np.int32),
+            bq=z(np.int32), bq_all=z(np.int32), mq=z(np.int32),
+            mq_all=z(np.int32), bq_read_count=z(np.int32),
+            mq_read_count=z(np.int32), read_count_all=z(np.int32),
+            pos_in_read=z4(np.int32), fstrand=z4(np.int32), base=d0)
+
+    def drain_one():
+        """Drain + queue the oldest fed sub-chunk; run its device job."""
+        d0, d1, jbatch, jelig, snv_src = fed.pop(0)
+        res = dep.drain(d1)
+        if res is None:
+            return False
+        dense, ev = res
+        n = d1 - d0
+        if device:
+            bt = np.zeros(n, np.int64)
+            if jbatch is None:
+                dev = {"n": 0}
+            else:
+                gate = dense.rd[:n].astype(np.int64) + dense.indel_sc_rd[:n]
+                with phase("scan.device"):
+                    if mesh_mode:
+                        r = acc.run(chrom, jbatch, jelig, cfg, gate,
+                                    lo=d0, hi=d1, base_tot_out=bt,
+                                    rd_out=(rd_mq, rd_hi, rd_lo),
+                                    gate_base=d0, base_tot_base=d0)
+                        dev = r[1] if r is not None else None
+                    else:
+                        r = acc.run(chrom, jbatch, jelig, cfg, gate,
+                                    lo=d0, hi=d1, base_tot_out=bt,
+                                    gate_base=d0, base_tot_base=d0)
+                        dev = r[1] if r is not None else None
+                if dev is None:
+                    return False
+            det.add_window(d0, d1, dense, ev, dev, bt)
         else:
-            res = acc.run(chrom, jbatch, elig_j, cfg, gate_full,
-                          lo=lo_j, hi=hi_j, base_tot_out=base_tot)
-            if res is None:
-                return False
-            _, dev = res
-        if dev["n"]:
-            cand_parts.append(dev)
+            arr_d = snv_src
+            arr_d.one_base_rd = dense.rd
+            arr_d.indel_sc_rd = dense.indel_sc_rd
+            arr_d.sc_rd = dense.sc_rd
+            bt = (arr_d.snv.sum(axis=0, dtype=np.int64)
+                  + arr_d.snv_lowmq.sum(axis=0, dtype=np.int64))[:n]
+            det.add_window(d0, d1, dense, ev, arr_d, bt)
+        if last_pos >= 0:
+            det.process(min(det.windows[-1]["hi"], last_pos - im + 1), L - 1)
         return True
 
     # chunk-level I/O–compute overlap: a daemon thread fetches chunk N+1
@@ -712,97 +794,112 @@ def call_chromosome_streamed(chrom: np.ndarray, refid: int, out_name: str,
             i0 = int(np.searchsorted(creads.pos, t0, side="left"))
             i1 = int(np.searchsorted(creads.pos, t1, side="left")) \
                 if t1 < L else n
-            own = np.arange(i0, i1)
             skipped += int(np.searchsorted(creads.pos[i0:i1], scan_start,
                                            side="left"))
-            if i1 > i0:
-                last_pos = max(last_pos, int(creads.pos[i1 - 1]))
-            with phase("batch.build"):
-                if i0 == 0 and i1 == n:
-                    dep_batch = batch_all   # chunk owns every fetched read
-                else:
-                    dep_batch = (build_batch(_subset_reads(creads, own),
-                                             refid, cfg.min_mapq,
-                                             cfg.add_factor, cfg.rmdup)
-                                 if len(own) else None)
-            with phase("scan.deposits"):
-                if dep_batch is not None and not dep.feed(dep_batch):
-                    return None
-        # the previous chunk's gate is final now that deposits crossed t0
-        if pending is not None:
-            with phase("scan.device"):
-                if not run_device(pending):
-                    return None
-            pending = None
-        if not n:
-            continue
-        elig = batch_all.keep & (batch_all.pos >= scan_start)
-        if device:
-            if not mesh_mode:
-                # mesh mode computes the rd lists device-side (with the
-                # all_gather'd carry) inside run_device
-                with phase("scan.accumulate"):
-                    scan_mod._accumulate_rd_lists(arr, batch_all, elig, cfg,
-                                                  lo=t0, hi=t1)
-            pending = (t0, t1, batch_all)
-        else:
-            with phase("scan.accumulate"):
-                if scan_native is None:
-                    scan_native = scan_mod._accumulate_native(
-                        arr, chrom, batch_all, elig, cfg, lo=t0, hi=t1,
-                        finalize=False)
-                elif scan_native:
-                    if not scan_mod._accumulate_native(
-                            arr, chrom, batch_all, elig, cfg, lo=t0, hi=t1,
-                            finalize=False):
+            elig = batch_all.keep & (batch_all.pos >= scan_start)
+            span_end = batch_all.span_ref + batch_all.span_len
+        for d0 in range(t0, t1, D):
+            d1 = min(d0 + D, t1)
+            if n:
+                j0 = int(np.searchsorted(creads.pos, d0, side="left"))
+                j0 = max(j0, i0)
+                j1 = int(np.searchsorted(creads.pos, d1, side="left")) \
+                    if d1 < L else n
+                j1 = min(max(j1, j0), i1)
+                with phase("scan.deposits"):
+                    if not dep.feed(batch_all, j0, j1, d_chunk=D):
                         return None
-                if not scan_native:
-                    scan_mod._accumulate_rd_lists(arr, batch_all, elig, cfg,
-                                                  lo=t0, hi=t1)
-                    scan_mod._accumulate_snv(arr, chrom, batch_all, elig,
-                                             cfg, lo=t0, hi=t1)
-        del creads, batch_all
+                if j1 > j0:
+                    last_pos = max(last_pos, int(creads.pos[j1 - 1]))
+                snv_src = None
+                if not device:
+                    arr_d = snv_chunk_arrays(d0, d1)
+                    smask = (batch_all.span_ref < d1) & (span_end > d0)
+                    with phase("scan.accumulate"):
+                        if scan_native is None:
+                            scan_native = scan_mod._accumulate_native(
+                                arr_d, chrom, batch_all, elig, cfg,
+                                lo=d0, hi=d1, finalize=False,
+                                span_mask=smask)
+                        elif scan_native:
+                            if not scan_mod._accumulate_native(
+                                    arr_d, chrom, batch_all, elig, cfg,
+                                    lo=d0, hi=d1, finalize=False,
+                                    span_mask=smask):
+                                return None
+                        if not scan_native:
+                            scan_mod._accumulate_rd_lists(
+                                _RdView(rd_mq, rd_hi, rd_lo, L), batch_all,
+                                elig, cfg, lo=d0, hi=d1)
+                            scan_mod._accumulate_snv(arr_d, chrom, batch_all,
+                                                     elig, cfg, lo=d0, hi=d1)
+                    snv_src = arr_d
+                elig_keep = elig
+            else:
+                snv_src = None if device else snv_chunk_arrays(d0, d1)
+                elig_keep = None
+            fed.append((d0, d1, batch_all, elig_keep, snv_src))
+            # drain with a one-sub-chunk lag: everything below the chunk
+            # just fed is final (back-reach < D)
+            while len(fed) > 1:
+                if not drain_one():
+                    return None
+        del creads
 
-    with phase("scan.deposits"):
-        dense, ev = dep.finish()
-    if pending is not None:
-        with phase("scan.device"):
-            if not run_device(pending):
-                return None
-        pending = None
-    if not device and scan_native:
-        # deferred rd-list prefix sums (the native engine fed diffs)
-        np.cumsum(arr.rd_mq, out=arr.rd_mq)
-        np.cumsum(arr.rd_hi, out=arr.rd_hi)
-        np.cumsum(arr.rd_lo, out=arr.rd_lo)
-    arr.one_base_rd = dense.rd
-    arr.indel_sc_rd = dense.indel_sc_rd
-    arr.sc_rd = dense.sc_rd
+    while fed:
+        if not drain_one():
+            return None
+    dep.close()
 
     scan_end = max(scan_start, last_pos - im) if last_pos >= 0 \
         else scan_start - 1
+    det.process(scan_end + 1, scan_end)
+    det.windows.clear()
+
+    if not device and scan_native:
+        # deferred rd-list prefix sums (the native engine fed diffs)
+        np.cumsum(rd_mq, out=rd_mq)
+        np.cumsum(rd_hi, out=rd_hi)
+        np.cumsum(rd_lo, out=rd_lo)
+
+    arr_fin = _rd_only_arrays(L, rd_mq, rd_hi, rd_lo)
     with phase("call.snv"):
-        if device:
-            from grom_tpu.parallel.pipeline import MeshAccumulator
-            dev = MeshAccumulator._merge_cands(cand_parts)
-            cands = snv_mod.candidates_from_device(
-                dev, chrom, cfg, mq_table, hez_table, scan_start, scan_end)
-        else:
-            cands = snv_mod.detect_snv_candidates(chrom, arr, cfg, mq_table,
-                                                  hez_table, scan_start,
-                                                  scan_end)
-    return _finish_chromosome(chrom, arr, dense, ev, cands, base_tot,
-                              out_name, cfg, drv, mq_table, hez_table,
-                              scan_start, scan_end, skipped)
+        cands = snv_mod.concat_candidates(det.snv_parts)
+    return _finish_chromosome(chrom, arr_fin, cands, det.sv, det.indel,
+                              out_name, cfg, drv, scan_start, scan_end,
+                              skipped)
 
 
-def _finish_chromosome(chrom, arr, dense, ev, cands, base_tot, out_name,
-                       cfg: GromConfig, drv: DerivedConfig, mq_table,
-                       hez_table, scan_start: int, scan_end: int,
+class _RdView:
+    """Duck-typed ChromArrays view for _accumulate_rd_lists (py fallback)."""
+
+    def __init__(self, rd_mq, rd_hi, rd_lo, L):
+        self.rd_mq = rd_mq
+        self.rd_hi = rd_hi
+        self.rd_lo = rd_lo
+        self.chr_len = L
+
+
+def _rd_only_arrays(L, rd_mq, rd_hi, rd_lo) -> scan_mod.ChromArrays:
+    z0 = np.zeros(0, np.int64)
+    z4 = np.zeros((4, 0), np.int64)
+    return scan_mod.ChromArrays(
+        chr_len=L, rd_mq=rd_mq, rd_hi=rd_hi, rd_lo=rd_lo,
+        one_base_rd=None, indel_sc_rd=None, sc_rd=None,
+        snv=z4, snv_lowmq=z4, bq=z0, bq_all=z0, mq=z0, mq_all=z0,
+        bq_read_count=z0, mq_read_count=z0, read_count_all=z0,
+        pos_in_read=z4, fstrand=z4)
+
+
+def _finish_chromosome(chrom, arr, cands, sv_det, ind_det, out_name,
+                       cfg: GromConfig, drv: DerivedConfig,
+                       scan_start: int, scan_end: int,
                        skipped: int) -> Tuple[List[str], List[str]]:
-    """Post-scan detection + emission: SNV flush filter, SV detectors and
-    clustering, indels, CNV — shared by the whole-batch and streamed paths.
-    Returns (vcf_rows, ctx_records) in the reference's emission order."""
+    """Post-detection flush/clustering/emission: SNV flush filter, SV
+    clustering, indel + CNV emission — shared by the whole-batch and
+    streamed paths. ``arr`` needs only the whole-chromosome rd_* depth
+    lists. Returns (vcf_rows, ctx_records) in the reference's emission
+    order."""
     from grom_tpu.call import indel as indel_mod
     from grom_tpu.call import sv as sv_mod
     from grom_tpu.utils.timing import phase
@@ -813,22 +910,16 @@ def _finish_chromosome(chrom, arr, dense, ev, cands, base_tot, out_name,
         rows = snv_mod.format_snv_rows(cands, keep, chrom, out_name, cfg,
                                        lseq=drv.read_len)
 
-    det = sv_mod.SvDetector(len(chrom), arr, dense, ev, cfg, drv,
-                            mq_table, hez_table)
-    with phase("call.sv_detect"):
-        det.run(scan_start, scan_end)
-    dup2 = sv_mod.cluster_paired(det.dup_list, cfg, drv)
-    del2 = sv_mod.cluster_paired(det.del_list, cfg, drv)
-    inv_f2 = sv_mod.cluster_paired(det.inv_f_list, cfg, drv)
-    inv_r2 = sv_mod.cluster_paired(det.inv_r_list, cfg, drv)
-    ins2 = sv_mod.cluster_ins(det.ins_list, cfg, drv)
-    ctx_f2 = sv_mod.cluster_ctx(det.ctx_f_list, cfg, drv)
-    ctx_r2 = sv_mod.cluster_ctx(det.ctx_r_list, cfg, drv)
+    dup2 = sv_mod.cluster_paired(sv_det.dup_list, cfg, drv)
+    del2 = sv_mod.cluster_paired(sv_det.del_list, cfg, drv)
+    inv_f2 = sv_mod.cluster_paired(sv_det.inv_f_list, cfg, drv)
+    inv_r2 = sv_mod.cluster_paired(sv_det.inv_r_list, cfg, drv)
+    ins2 = sv_mod.cluster_ins(sv_det.ins_list, cfg, drv)
+    ctx_f2 = sv_mod.cluster_ctx(sv_det.ctx_f_list, cfg, drv)
+    ctx_r2 = sv_mod.cluster_ctx(sv_det.ctx_r_list, cfg, drv)
 
-    with phase("call.indel"):
-        ins_list, del_list, d_index = indel_mod.detect_indels(
-            chrom, arr, dense, ev, cfg, drv, mq_table, hez_table,
-            scan_start, scan_end, base_tot=base_tot)
+    ins_list, del_list, d_index = (ind_det.ins_list, ind_det.del_list,
+                                   ind_det.d_index)
 
     rows.extend(sv_mod.format_dup_rows(out_name, dup2, cfg))
     rows.extend(sv_mod.format_inv_rows(out_name, inv_f2, inv_r2, arr, cfg, drv))
@@ -956,6 +1047,19 @@ def call_chromosome(chrom: np.ndarray, reads: bam_mod.RawReads,
                                                   hez_table, scan_start,
                                                   scan_end)
 
-    return _finish_chromosome(chrom, arr, dense, ev, cands, base_tot,
-                              out_name, cfg, drv, mq_table, hez_table,
-                              scan_start, scan_end, skipped)
+    # detection via the chunk API with one whole-chromosome window
+    from grom_tpu.call.evidence import EvidenceChunk
+    L = len(chrom)
+    ev_chunk = EvidenceChunk.from_state(ev)
+    sv_det = sv_mod.SvDetector(L, cfg, drv, mq_table, hez_table)
+    with phase("call.sv_detect"):
+        sv_det.run_chunk(ev_chunk, dense, 0, L, scan_start, scan_end)
+    ind_det = indel_mod.IndelDetector(L, cfg, drv, mq_table, hez_table)
+    if base_tot is None:
+        base_tot = (arr.snv.sum(axis=0, dtype=np.int64)
+                    + arr.snv_lowmq.sum(axis=0, dtype=np.int64))
+    with phase("call.indel"):
+        ind_det.run_chunk(ev_chunk, dense, 0, L, base_tot, 0,
+                          scan_start, scan_end)
+    return _finish_chromosome(chrom, arr, cands, sv_det, ind_det, out_name,
+                              cfg, drv, scan_start, scan_end, skipped)

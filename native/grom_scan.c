@@ -29,8 +29,12 @@ typedef struct {
 
 enum {
     SP_L = 0, SP_MIN_MAPQ, SP_MIN_BQ, SP_MAX_SLOTS, SP_NAME_LEN_CAP,
-    SP_LO, SP_HI, SP_FINALIZE, SP_PARTS, N_SP
+    SP_LO, SP_HI, SP_FINALIZE, SP_PARTS, SP_BASE, SP_STRIDE, N_SP
 };
+/* SP_BASE/SP_STRIDE (optional; params may be the short legacy array):
+ * the SNV-family output arrays are chunk-local — element 0 is absolute
+ * position SP_BASE and the [4,*] arrays have row stride SP_STRIDE.
+ * The rd_* depth lists always stay whole-chromosome (absolute). */
 /* SP_PARTS (optional; absent/0 = both): bit0 = SNV tally, bit1 = rd lists.
  * The threaded wrapper runs two position-gated SNV-only calls (disjoint
  * [lo,hi) halves — no shared writes) plus one serial rd-only call (the
@@ -67,6 +71,8 @@ GN_API int gn_snv_accumulate(
     const int parts = params[SP_PARTS] ? (int)params[SP_PARTS] : 3;
     const int do_snv = parts & 1;
     const int do_rd = parts & 2;
+    const int64_t base = params[SP_BASE];
+    const int64_t stride = params[SP_STRIDE] > 0 ? params[SP_STRIDE] : L;
     if (max_slots > MAX_DEDUP_SLOTS)
         return 1;
 
@@ -148,26 +154,27 @@ GN_API int gn_snv_accumulate(
                         d->nids[d->n++] = nid;
                 }
             }
+            const int64_t pb = p - base;
             if (hi) {
                 if (!skip && c >= 0) {
-                    snv[(int64_t)c * L + p] += 1;
-                    bq[p] += q;
-                    bq_all[p] += q;
-                    mq_sum[p] += mq;
-                    mq_all[p] += mq;
-                    bq_read_count[p] += 1;
-                    mq_read_count[p] += 1;
-                    read_count_all[p] += 1;
+                    snv[(int64_t)c * stride + pb] += 1;
+                    bq[pb] += q;
+                    bq_all[pb] += q;
+                    mq_sum[pb] += mq;
+                    mq_all[pb] += mq;
+                    bq_read_count[pb] += 1;
+                    mq_read_count[pb] += 1;
+                    read_count_all[pb] += 1;
                     if (fwd)
-                        fstrand[(int64_t)c * L + p] += 1;
+                        fstrand[(int64_t)c * stride + pb] += 1;
                     const int64_t pir = (mm || fwd) ? ridx : lseq - ridx;
-                    pos_in_read[(int64_t)c * L + p] += pir;
+                    pos_in_read[(int64_t)c * stride + pb] += pir;
                 }
             } else if (c >= 0) {
-                snv_lowmq[(int64_t)c * L + p] += 1;
-                bq_all[p] += q;
-                mq_all[p] += mq;
-                read_count_all[p] += 1;
+                snv_lowmq[(int64_t)c * stride + pb] += 1;
+                bq_all[pb] += q;
+                mq_all[pb] += mq;
+                read_count_all[pb] += 1;
             }
         }
 
