@@ -256,6 +256,12 @@ def _install_hugealloc() -> None:
             cap = max(cap, pages * psize // 2)
         except (ValueError, OSError, AttributeError):
             pass
+        # GROM_TPU_POOL_CAP overrides (bytes) — used by the WGS memory
+        # tests to emulate a small-RAM host (peak RSS then reflects the
+        # live working set, not warm-pool retention)
+        cap_env = os.environ.get("GROM_TPU_POOL_CAP", "")
+        if cap_env.isdigit():
+            cap = int(cap_env)
         # cross-process warm pool: slabs carve a /dev/shm file whose pages
         # survive process exit — repeat runs re-map warm memory (~0.04
         # s/GiB) instead of re-acquiring from the host (~1-10 s/GiB on

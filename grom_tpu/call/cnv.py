@@ -216,9 +216,11 @@ def prep_cnv(chrom: np.ndarray, feats: RefFeatures, rd_hi: np.ndarray,
     m = drv.insert_mean
     W = 2 * m - 1
     depth = rd_hi.astype(np.int32) + rd_lo.astype(np.int32)
-    mq_mean = rd_mq_sum.astype(np.int64)
+    # per-base mean mapq fits int16 (mapq <= 255); int64 here was an
+    # 8B/base whole-chromosome transient
+    mq_mean = np.zeros(len(depth), np.int16)
     nz = depth > 0
-    mq_mean[nz] = mq_mean[nz] // depth[nz]
+    mq_mean[nz] = (rd_mq_sum[nz].astype(np.int64) // depth[nz]).astype(np.int16)
 
     # repeat-bias selection (src/GROM.c:16642-16760)
     lo, hi = m - 1, L - W

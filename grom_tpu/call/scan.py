@@ -94,7 +94,8 @@ class ChromArrays:
     SNV-relevant cdp_one_base_* arrays)."""
 
     chr_len: int
-    rd_mq: np.ndarray           # caf_rd_mq_list: Σ mapq per base
+    rd_mq: np.ndarray           # caf_rd_mq_list: Σ mapq per base (int32:
+                                # depth*mapq < 2^31 at any plausible pileup)
     rd_hi: np.ndarray           # caf_rd_rd_list: depth of mq>=min reads
     rd_lo: np.ndarray           # caf_rd_low_mq_rd_list
     one_base_rd: np.ndarray     # physical rd over clipped aligned span
@@ -121,7 +122,7 @@ def accumulate_chromosome(chrom: np.ndarray, batch: ReadBatch,
     L = len(chrom)
     arr = ChromArrays(
         chr_len=L,
-        rd_mq=np.zeros(L, np.int64), rd_hi=np.zeros(L, np.int32),
+        rd_mq=np.zeros(L, np.int32), rd_hi=np.zeros(L, np.int32),
         rd_lo=np.zeros(L, np.int32), one_base_rd=np.zeros(L, np.int32),
         indel_sc_rd=np.zeros(L, np.int32), sc_rd=np.zeros(L, np.int32),
         snv=np.zeros((NT, L), np.int32), snv_lowmq=np.zeros((NT, L), np.int32),
@@ -190,7 +191,7 @@ def _accumulate_native(arr: ChromArrays, chrom, batch, eligible, cfg,
               "bq_all": np.int32, "mq": np.int32, "mq_all": np.int32,
               "bq_read_count": np.int32, "mq_read_count": np.int32,
               "read_count_all": np.int32, "pos_in_read": np.int32,
-              "fstrand": np.int32, "rd_mq": np.int64, "rd_hi": np.int32,
+              "fstrand": np.int32, "rd_mq": np.int32, "rd_hi": np.int32,
               "rd_lo": np.int32}
     for f, dt in expect.items():
         if getattr(arr, f).dtype != dt:
@@ -307,7 +308,7 @@ def _accumulate_rd_lists(arr, batch, eligible, cfg, lo: int = 0,
 
     mq_acc = np.zeros(arr.chr_len, np.int64)
     span_add(mq_acc, s_cl, e_cl, mapq.astype(np.int64))
-    arr.rd_mq += mq_acc
+    arr.rd_mq += mq_acc.astype(arr.rd_mq.dtype)
     hi_acc = np.zeros(arr.chr_len, np.int64)
     span_add(hi_acc, s_cl[hi_m], e_cl[hi_m])
     arr.rd_hi += hi_acc.astype(np.int32)

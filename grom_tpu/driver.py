@@ -684,7 +684,7 @@ def call_chromosome_streamed(chrom: np.ndarray, refid: int, out_name: str,
 
     # whole-chromosome per-base state is ONLY the depth lists (the CNV
     # engine's inputs — the reference holds the same, src/GROM.c:6605-6664)
-    rd_mq = np.zeros(L, np.int64)
+    rd_mq = np.zeros(L, np.int32)
     rd_hi = np.zeros(L, np.int32)
     rd_lo = np.zeros(L, np.int32)
 
@@ -1015,7 +1015,7 @@ def call_chromosome(chrom: np.ndarray, reads: bam_mod.RawReads,
         z0 = np.zeros(0, np.int64)
         z4 = np.zeros((4, 0), np.int64)
         arr = scan_mod.ChromArrays(
-            chr_len=L, rd_mq=np.zeros(L, np.int64),
+            chr_len=L, rd_mq=np.zeros(L, np.int32),
             rd_hi=np.zeros(L, np.int32), rd_lo=np.zeros(L, np.int32),
             one_base_rd=dense.rd, indel_sc_rd=dense.indel_sc_rd,
             sc_rd=dense.sc_rd,
@@ -1025,7 +1025,7 @@ def call_chromosome(chrom: np.ndarray, reads: bam_mod.RawReads,
         if rd_lists is not None:
             # mesh path: caf_rd_* depth computed on device with the
             # all_gather'd cross-cell carry (integer-exact)
-            arr.rd_mq = rd_lists[0].astype(np.int64)
+            arr.rd_mq = rd_lists[0].astype(np.int32)
             arr.rd_hi = rd_lists[1].astype(np.int32)
             arr.rd_lo = rd_lists[2].astype(np.int32)
         else:

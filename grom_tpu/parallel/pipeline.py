@@ -267,7 +267,7 @@ class MeshAccumulator:
         if rd_out is not None:
             rd_mq, rd_hi, rd_lo = rd_out
         else:
-            rd_mq = np.zeros(L, np.int64)
+            rd_mq = np.zeros(L, np.int32)
             rd_hi = np.zeros(L, np.int32)
             rd_lo = np.zeros(L, np.int32)
         hist = np.zeros(HIST_BINS, np.int64)

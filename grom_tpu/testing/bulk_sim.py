@@ -291,10 +291,15 @@ def bulk_dataset(prefix: str, length: int, coverage: float = 30.0,
             ve = vend[sel][np.argsort(voff[sel], kind="stable")]
             out.append(struct.pack("<Ii", int(b), len(sel)))
             out.append(np.stack([vs, ve], axis=1).astype("<u8").tobytes())
+    # linear index: a window's ioffset is the min voffset over reads
+    # OVERLAPPING it (the BAI spec / samtools semantics) — registering only
+    # the start window loses window-crossing reads from regional fetches
     win = (pos >> 14).astype(np.int64)
-    n_intv = int(win.max()) + 1 if R else 0
+    win_end = ((pos + RL - 1) >> 14).astype(np.int64)
+    n_intv = int(win_end.max()) + 1 if R else 0
     ioff = np.full(n_intv, np.iinfo(np.uint64).max, np.uint64)
     np.minimum.at(ioff, win, voff)
+    np.minimum.at(ioff, win_end, voff)
     # forward-fill gaps with the previous value (0 before first)
     filled = np.minimum.accumulate(ioff) if n_intv else ioff
     have = ioff != np.iinfo(np.uint64).max

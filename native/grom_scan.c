@@ -55,7 +55,7 @@ GN_API int gn_snv_accumulate(
     int32_t *bq, int32_t *bq_all, int32_t *mq_sum, int32_t *mq_all,
     int32_t *bq_read_count, int32_t *mq_read_count, int32_t *read_count_all,
     int32_t *pos_in_read, int32_t *fstrand,
-    int64_t *rd_mq, int32_t *rd_hi, int32_t *rd_lo) {
+    int32_t *rd_mq, int32_t *rd_hi, int32_t *rd_lo) {
 
     const int64_t L = params[SP_L];
     const int64_t min_mapq = params[SP_MIN_MAPQ];
@@ -203,7 +203,7 @@ GN_API int gn_snv_accumulate(
 
     /* prefix sums for the rd lists */
     {
-        int64_t acc = 0;
+        int32_t acc = 0;
         for (int64_t p = 0; p < L; p++) {
             acc += rd_mq[p];
             rd_mq[p] = acc;

@@ -55,7 +55,7 @@ def test_scan_differential(ds):
         NT = scan_mod.NT
         mk = lambda: scan_mod.ChromArrays(
             chr_len=L,
-            rd_mq=np.zeros(L, np.int64), rd_hi=np.zeros(L, np.int32),
+            rd_mq=np.zeros(L, np.int32), rd_hi=np.zeros(L, np.int32),
             rd_lo=np.zeros(L, np.int32), one_base_rd=np.zeros(L, np.int32),
             indel_sc_rd=np.zeros(L, np.int32), sc_rd=np.zeros(L, np.int32),
             snv=np.zeros((NT, L), np.int32),
