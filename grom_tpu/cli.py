@@ -109,13 +109,17 @@ def split_regions(ref_len: int, cfg) -> List:
 
 
 def _run_one_chromosome(args):
-    """Worker: call one chromosome (or one sub-region of it), returning
-    ((refid, sub), rows, ctx_records)."""
-    cfg_json, refid, sub, rstart, rend = args
+    """Worker: call one chromosome (or one sub-region of it). Rows stream to
+    an on-disk part file (the reference's per-child ``out.vcf.<chr>-<n>``
+    files, src/GROM.c:20678-20693) so the parent never buffers a
+    chromosome's records in memory; ctx candidate records (sparse) come back
+    directly for the global merge. Returns ((refid, sub), part_path, n_rows,
+    ctx_records)."""
+    cfg_json, refid, sub, rstart, rend, part_path = args
     import numpy as np
 
     from grom_tpu.config import DerivedConfig, GromConfig
-    from grom_tpu.driver import call_chromosome
+    from grom_tpu.driver import call_chromosome, call_chromosome_streamed
     from grom_tpu.ingest import bam as bam_mod
     from grom_tpu.ingest import fasta as fasta_mod
     from grom_tpu.ingest.insert_size import load_or_estimate
@@ -128,33 +132,48 @@ def _run_one_chromosome(args):
     drv = DerivedConfig.from_insert_stats(cfg, ins.insert_mean, ins.insert_min,
                                           ins.insert_max, ins.read_len,
                                           ins.mapped_read_bases)
-    # regional fetch: decode only this job's records (BAI-planned); insert
-    # stats come from the parent-written cache
-    if rstart is None:
-        header, reads = bam_mod.read_bam_region(cfg.bam, refid)
-        sel = np.arange(len(reads))
-        region_start = 0
-    else:
-        header, reads = bam_mod.read_bam_region(cfg.bam, refid,
-                                                max(rstart, 0), rend)
-        ends = bam_mod.alignment_ends(reads)
-        sel = np.flatnonzero((reads.pos < rend - 1) & (ends > rstart))
-        region_start = rstart
+    header = bam_mod.read_bam_header(cfg.bam)
     bam_name = header.ref_names[refid]
     fa_name = fasta_mod.match_chromosome(bam_name, info.names)
     if fa_name is None:
-        return key, [], []
+        return key, None, 0, []
     out_name = fa_name.lower()
     if fasta_mod.is_chry(fa_name) and cfg.gender == 0:
-        return key, [], []
+        return key, None, 0, []
     mq_table = binom.build_mq_table(cfg.min_mapq if cfg.min_mapq > 10 else 10,
                                     cfg.max_trials)
     hez_table = binom.build_hez_table(cfg.max_trials)
     chrom = fasta_mod.load_chromosome(cfg.ref_fasta, info, fa_name)
-    rows, ctx = call_chromosome(chrom, reads, sel, refid, out_name, cfg, drv,
-                                mq_table, hez_table,
-                                region_start=region_start)
-    return key, rows, ctx
+    res = None
+    if rstart is None:
+        # whole chromosome: bounded-memory chunked streaming, same engine
+        # selection as the serial driver (this is the regime where the
+        # reference's RAM multiplies by the worker count,
+        # src/GROM.c:549-598 / README.md:12's 13GB -> 128GB)
+        def fetch(t0, t1):
+            return bam_mod.read_bam_region(cfg.bam, refid, t0, t1)[1]
+        res = call_chromosome_streamed(chrom, refid, out_name, cfg, drv,
+                                       mq_table, hez_table, fetch)
+    if res is None:
+        # sub-region job (-R split) or streamed-path rejection: regional
+        # whole-batch fallback
+        if rstart is None:
+            _, reads = bam_mod.read_bam_region(cfg.bam, refid)
+            sel = np.arange(len(reads))
+            region_start = 0
+        else:
+            _, reads = bam_mod.read_bam_region(cfg.bam, refid,
+                                               max(rstart, 0), rend)
+            ends = bam_mod.alignment_ends(reads)
+            sel = np.flatnonzero((reads.pos < rend - 1) & (ends > rstart))
+            region_start = rstart
+        res = call_chromosome(chrom, reads, sel, refid, out_name, cfg, drv,
+                              mq_table, hez_table, region_start=region_start)
+    rows, ctx = res
+    with open(part_path, "w") as f:
+        for r in rows:
+            f.write(r if r.endswith("\n") else r + "\n")
+    return key, part_path, len(rows), ctx
 
 
 def run_parallel(cfg: GromConfig) -> None:
@@ -173,7 +192,13 @@ def run_parallel(cfg: GromConfig) -> None:
     from grom_tpu.vcfio.writer import VcfWriter
 
     header = bam_mod.read_bam_header(cfg.bam)
-    ins = load_or_estimate(cfg.bam, None, cfg)  # lazy full decode on cache miss
+    if os.path.exists(cfg.bam + ".bai"):
+        # bounded-memory insert estimation (stops at the 10M-record sample);
+        # writes the cache the workers read
+        from grom_tpu.driver import _streaming_insert_stats
+        ins = _streaming_insert_stats(cfg, header)
+    else:
+        ins = load_or_estimate(cfg.bam, None, cfg)
     drv = DerivedConfig.from_insert_stats(cfg, ins.insert_mean, ins.insert_min,
                                           ins.insert_max, ins.read_len,
                                           ins.mapped_read_bases)
@@ -187,10 +212,12 @@ def run_parallel(cfg: GromConfig) -> None:
         regs = split_regions(header.ref_lengths[refid], cfg)
         if len(regs) <= 1:
             # single region == whole chromosome: identical to serial
-            jobs.append((cfg.to_json(), refid, 0, None, None))
+            jobs.append((cfg.to_json(), refid, 0, None, None,
+                         "%s.part.%d-0" % (cfg.out_vcf, refid)))
         else:
             for sub, start, end in regs:
-                jobs.append((cfg.to_json(), refid, sub, start, end))
+                jobs.append((cfg.to_json(), refid, sub, start, end,
+                             "%s.part.%d-%d" % (cfg.out_vcf, refid, sub)))
     with multiprocessing.get_context("spawn").Pool(cfg.processes) as pool:
         results = pool.map(_run_one_chromosome, jobs)
     results.sort(key=lambda t: t[0])
@@ -201,8 +228,10 @@ def run_parallel(cfg: GromConfig) -> None:
                                drv.insert_max, drv.read_len)
     writer = VcfWriter(cfg.out_vcf, cfg.ref_fasta, prelude=prelude)
     all_ctx = []
-    for _, rows, ctx in results:
-        writer.write_rows(rows)
+    for _, part, _n, ctx in results:
+        if part is not None:
+            writer.append_file(part)
+            os.remove(part)
         all_ctx.extend(ctx)
     writer.close()
     write_ctx_vcf(_ctx_path(cfg.out_vcf), all_ctx, header.ref_names, cfg, drv)

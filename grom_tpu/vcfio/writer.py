@@ -85,5 +85,14 @@ class VcfWriter:
             if not r.endswith("\n"):
                 self._f.write("\n")
 
+    def append_file(self, path: str) -> None:
+        """Append a headerless partial-row file (the -P workers' on-disk
+        results — the reference's ``cat part >> out`` merge,
+        src/GROM.c:612-622) without loading it into memory."""
+        import shutil
+        self._f.flush()
+        with open(path, "r") as src:
+            shutil.copyfileobj(src, self._f)
+
     def close(self) -> None:
         self._f.close()
