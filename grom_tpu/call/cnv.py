@@ -129,9 +129,8 @@ def preprocess_reference(chrom: np.ndarray, insert_mean: int,
     W = 2 * m - 1
     total = m * m  # triangular weight sum (src/GROM.c:22265-22269)
 
-    up = np.frombuffer(chrom.tobytes().upper(), dtype=np.uint8)
-    is_gc = ((up == ord("C")) | (up == ord("G"))).astype(np.int64)
-    is_acgt = (is_gc | (up == ord("A")) | (up == ord("T"))).astype(np.int64)
+    # single-copy uppercase (tobytes().upper() double-copied the chromosome)
+    up = np.where(chrom >= 97, chrom - 32, chrom).astype(np.uint8)
 
     def tri_weighted(x):
         # T(p) = sum_{d=-(m-1)}^{m-1} (m-|d|)*x[p+d]
@@ -155,10 +154,16 @@ def preprocess_reference(chrom: np.ndarray, insert_mean: int,
     ac_w = np.zeros(L, dtype=np.int8)
     lo, hi = m - 1, L - W
     if hi > lo and not _tri_weighted_native(chrom, m, gc_w, ac_w):
+        # fallback only: the int64 masks + prefix sums are ~32B/base
+        is_gc = ((up == ord("C")) | (up == ord("G"))).astype(np.int64)
         gc_w[lo:hi] = (100 * tri_weighted(is_gc)[lo:hi] // total
                        ).astype(np.int8)
+        is_acgt = (is_gc.astype(bool) | (up == ord("A"))
+                   | (up == ord("T"))).astype(np.int64)
+        del is_gc
         ac_w[lo:hi] = (100 * tri_weighted(is_acgt)[lo:hi] // total
                        ).astype(np.int8)
+        del is_acgt
 
     # dinucleotide repeat runs (types 0..9) over the same scan range
     r_types: List[int] = []
@@ -183,7 +188,7 @@ def preprocess_reference(chrom: np.ndarray, insert_mean: int,
         pc = pair_code   # already the [lo:hi) range
         n = hi - lo
         if n > 1:
-            change = np.flatnonzero(np.diff(pc.astype(np.int16)) != 0) + 1
+            change = np.flatnonzero(pc[1:] != pc[:-1]) + 1
             starts = np.concatenate([[0], change])
             ends = np.concatenate([change, [n]])
             types = pc[starts]
@@ -211,27 +216,41 @@ class CnvPrep:
 
 def prep_cnv(chrom: np.ndarray, feats: RefFeatures, rd_hi: np.ndarray,
              rd_lo: np.ndarray, rd_mq_sum: np.ndarray, cfg: GromConfig,
-             drv: DerivedConfig) -> CnvPrep:
+             drv: DerivedConfig,
+             depth: Optional[np.ndarray] = None) -> CnvPrep:
     L = len(chrom)
     m = drv.insert_mean
     W = 2 * m - 1
-    depth = rd_hi.astype(np.int32) + rd_lo.astype(np.int32)
+    if depth is None:
+        depth = rd_hi.astype(np.int32) + rd_lo.astype(np.int32)
     # per-base mean mapq fits int16 (mapq <= 255); int64 here was an
     # 8B/base whole-chromosome transient
     mq_mean = np.zeros(len(depth), np.int16)
     nz = depth > 0
     mq_mean[nz] = (rd_mq_sum[nz].astype(np.int64) // depth[nz]).astype(np.int16)
 
-    # repeat-bias selection (src/GROM.c:16642-16760)
+    # repeat-bias selection (src/GROM.c:16642-16760); mean/stdev of eligible
+    # depth in bounded chunks (the whole-chromosome f64 temporaries were
+    # ~5GB at 250Mb; partial pairwise sums stay within the SD tolerance the
+    # fixtures assert)
     lo, hi = m - 1, L - W
-    sel = slice(lo, hi)
-    acgt_ok = feats.acgt_weighted[sel] >= 99  # g_insert_min_acgt
-    d = depth[sel][acgt_ok]
-    cnt = len(d)
-    ave = d.sum() / cnt if cnt else 0.0
-    dd = d.astype(np.float64)
-    sq = np.where(dd < 2 * ave, (dd - ave) ** 2, ave * ave)
-    stdev = math.sqrt(sq.sum() / (cnt - 1)) if cnt > 1 else 0.0
+    cnt = 0
+    dsum = 0
+    CHK = 16 << 20
+    for c0 in range(lo, max(hi, lo), CHK):
+        c1 = min(c0 + CHK, hi)
+        ok = feats.acgt_weighted[c0:c1] >= 99  # g_insert_min_acgt
+        cnt += int(ok.sum())
+        dsum += int(depth[c0:c1][ok].sum())
+    ave = dsum / cnt if cnt else 0.0
+    sqsum = 0.0
+    for c0 in range(lo, max(hi, lo), CHK):
+        c1 = min(c0 + CHK, hi)
+        ok = feats.acgt_weighted[c0:c1] >= 99
+        dd = depth[c0:c1][ok].astype(np.float64)
+        sqsum += float(np.where(dd < 2 * ave, (dd - ave) ** 2,
+                                ave * ave).sum())
+    stdev = math.sqrt(sqsum / (cnt - 1)) if cnt > 1 else 0.0
 
     most_biased = -1
     if len(feats.repeat_types):
@@ -551,12 +570,14 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
                    rd_hi: np.ndarray, rd_lo: np.ndarray, cfg: GromConfig,
                    drv: DerivedConfig, ploidy: int,
                    rng: Optional[np.random.Generator] = None,
-                   gen1000_out: Optional[List[str]] = None
+                   gen1000_out: Optional[List[str]] = None,
+                   depth: Optional[np.ndarray] = None
                    ) -> Tuple[List[CnvCall], List[CnvCall]]:
     L = len(chrom)
     m = drv.insert_mean
     W = 2 * m - 1
-    depth = (rd_hi.astype(np.int32) + rd_lo.astype(np.int32))
+    if depth is None:
+        depth = (rd_hi.astype(np.int32) + rd_lo.astype(np.int32))
     mq = prep.mq_mean
     gc = feats.gc_weighted
     acgt = feats.acgt_weighted
@@ -564,9 +585,11 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
     cap = cfg.sample_lists_len
     rng = rng or np.random.default_rng(0)
 
-    (hi_arr, lo_arr), ave, std, nwin, del_thr, dup_thr = \
-        _sample_distributions(chrom, feats, prep, rd_hi, rd_lo, cfg, drv,
-                              ploidy, rng=rng)
+    from grom_tpu.utils.timing import phase as _ph0
+    with _ph0("cnv.sample"):
+        (hi_arr, lo_arr), ave, std, nwin, del_thr, dup_thr = \
+            _sample_distributions(chrom, feats, prep, rd_hi, rd_lo, cfg, drv,
+                                  ploidy, rng=rng)
     hi_n = [len(a) for a in hi_arr]
     lo_n = [len(a) for a in lo_arr]
 
@@ -643,20 +666,27 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
     nat = _native_cnv_ctx(hi_arr, lo_arr, depth, mq, gc, low_acgt, ave, std,
                           pv_p, pv_sd, NB, cfg)
     if nat is not None:
+        from grom_tpu.utils.timing import phase as _ph
         lo_z, hi_z = full_blocks[0]
         if hi_z > lo_z:
-            nat.zscores(lo_z, hi_z, stdev_list)
+            with _ph("cnv.zscores"):
+                nat.zscores(lo_z, hi_z, stdev_list)
         # null-model windows are collected from the PRE-rescore z: the
         # reference samples them inside its z loop (src/GROM.c:18975-19015)
         # and the repeat rescore (:19018-19180) runs after
-        win_std = nat.null_model(prep.lowvar_blocks, stdev_list)
+        with _ph("cnv.nullmodel"):
+            win_std = nat.null_model(prep.lowvar_blocks, stdev_list)
         if prep.most_biased_repeat != -1:
-            _repeat_rescore(feats, prep, depth, low_acgt, acgt, stdev_list,
-                            pv_p, pv_sd, cfg, m, rng)
+            with _ph("cnv.rescore"):
+                _repeat_rescore(feats, prep, depth, low_acgt, acgt,
+                                stdev_list, pv_p, pv_sd, cfg, m, rng)
         scan_blocks = [(m - 1, L - W)]
-        dels = nat.scan(scan_blocks, stdev_list, del_thr, win_std, L, +1)
-        dups = nat.scan(scan_blocks, stdev_list, dup_thr, win_std, L, -1)
-        _copy_number(dels, dups, depth, mq, gc, low_acgt, ave, ploidy, cfg)
+        with _ph("cnv.winscan"):
+            dels = nat.scan(scan_blocks, stdev_list, del_thr, win_std, L, +1)
+            dups = nat.scan(scan_blocks, stdev_list, dup_thr, win_std, L, -1)
+        with _ph("cnv.copynum"):
+            _copy_number(dels, dups, depth, mq, gc, low_acgt, ave, ploidy,
+                         cfg)
         if gen1000_out is not None and cfg.gen1000_window > 0:
             gen1000_out.extend(_gen1000_track(depth, mq, gc, low_acgt, ave,
                                               ploidy, cfg, L))
@@ -908,7 +938,7 @@ def _native_cnv_ctx(hi_arr, lo_arr, depth, mq, gc, low_acgt, ave, std,
     ave_f = np.ascontiguousarray(ave, np.float64).reshape(-1)
     std_f = np.ascontiguousarray(std, np.float64).reshape(-1)
     depth_c = np.ascontiguousarray(depth, np.int32)
-    mq_c = np.ascontiguousarray(mq, np.int64)
+    mq_c = np.ascontiguousarray(mq, np.int16)
     gc_c = np.ascontiguousarray(gc, np.int8)
     lowa_c = np.ascontiguousarray(low_acgt, np.int8)
     return _NativeCnv(lib, dist_vals, dist_off, ave_f, std_f, depth_c, mq_c,
@@ -1430,9 +1460,14 @@ def call_cnv(chrom: np.ndarray, rd_hi: np.ndarray, rd_lo: np.ndarray,
     reproduce the shipped behavior; ``is_chrx`` is kept in the signature
     for a future --fix-gender mode."""
     del is_chrx  # see NOTE: the reference's halving is dead code
+    from grom_tpu.utils.timing import phase
     ploidy = cfg.ploidy
-    feats = preprocess_reference(chrom, drv.insert_mean, cfg.min_repeat)
-    prep = prep_cnv(chrom, feats, rd_hi, rd_lo, rd_mq_sum, cfg, drv)
+    with phase("cnv.prep_ref"):
+        feats = preprocess_reference(chrom, drv.insert_mean, cfg.min_repeat)
+    depth = rd_hi.astype(np.int32) + rd_lo.astype(np.int32)
+    with phase("cnv.prep"):
+        prep = prep_cnv(chrom, feats, rd_hi, rd_lo, rd_mq_sum, cfg, drv,
+                        depth=depth)
     dels, dups = detect_del_dup(chrom, feats, prep, rd_hi, rd_lo, cfg, drv,
-                                ploidy, gen1000_out=gen1000_out)
+                                ploidy, gen1000_out=gen1000_out, depth=depth)
     return format_cnv_rows(chr_name, dels, dups, cfg)

@@ -798,6 +798,14 @@ def call_chromosome_streamed(chrom: np.ndarray, refid: int, out_name: str,
                                            side="left"))
             elig = batch_all.keep & (batch_all.pos >= scan_start)
             span_end = batch_all.span_ref + batch_all.span_len
+            if device and not mesh_mode:
+                # mesh computes the caf_rd_* lists device-side (with the
+                # all_gather'd carry); the sequential device engine keeps
+                # them host-side like round 3
+                with phase("scan.accumulate"):
+                    scan_mod._accumulate_rd_lists(
+                        _RdView(rd_mq, rd_hi, rd_lo, L), batch_all, elig,
+                        cfg, lo=t0, hi=t1)
         for d0 in range(t0, t1, D):
             d1 = min(d0 + D, t1)
             if n:

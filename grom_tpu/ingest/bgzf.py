@@ -190,8 +190,18 @@ class BgzfRandomReader:
             return
         self._flat = None
         from grom_tpu.native import get_lib
+        import os as _os
+        size = _os.path.getsize(path)
+        mmap_min = int(_os.environ.get("GROM_TPU_SRC_MMAP_MIN",
+                                       str(256 << 20)))
         if get_lib() is not None:
-            self._src = _read_src(path)   # pooled array (native path only)
+            if size > mmap_min:
+                # WGS-scale source: file-backed mapping instead of pinning
+                # the whole compressed BAM in anonymous memory — the OS
+                # page cache serves (and can reclaim) the touched ranges
+                self._src = np.memmap(path, np.uint8, mode="r")
+            else:
+                self._src = _read_src(path)   # pooled array (native path)
         else:
             with open(path, "rb") as f:
                 self._src = f.read()

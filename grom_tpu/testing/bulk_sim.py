@@ -93,11 +93,14 @@ def bulk_dataset(prefix: str, length: int, coverage: float = 30.0,
                  snp_rate: float = 1e-3,
                  depressions: Optional[List[Tuple[int, int, float]]] = None,
                  repeats: Optional[List[Tuple[int, int, bytes]]] = None,
+                 gc_blocks: Optional[List[Tuple[int, int, float]]] = None,
                  level: int = 1,
                  chrom_name: str = "chrbulk") -> Tuple[str, str]:
     """Generate <prefix>.fa / .bam / .bam.bai. Returns (fa, bam) paths.
 
     ``snp_rate`` plants het (2/3) and hom (1/3) substitution SNPs.
+    ``gc_blocks=[(s, e, gc_frac)]`` rewrite reference spans with a biased
+    GC composition (exercises the per-GC-bin CNV distributions).
     ``depressions=[(s, e, keep_frac)]`` thin fragments overlapping a
     window (deletion-like CNV signal). ``repeats=[(s, e, dimer)]`` plant
     dinucleotide repeat runs in the reference (the CNV engine's
@@ -107,6 +110,15 @@ def bulk_dataset(prefix: str, length: int, coverage: float = 30.0,
     rng = np.random.default_rng(seed)
     RL = _READ_LEN
     genome = rng.choice(_BASES, size=length).astype(np.uint8)
+    # GC-composition blocks (``gc_blocks=[(s, e, gc_frac)]``): spread the
+    # depth samples across the CNV engine's 101 GC bins (triangular GC
+    # window, src/GROM.c:1766-1861; per-bin distributions :18385-18453)
+    for (gs, ge, frac) in (gc_blocks or []):
+        n = ge - gs
+        is_gc = rng.random(n) < frac
+        gc_pick = rng.choice(np.frombuffer(b"GC", np.uint8), size=n)
+        at_pick = rng.choice(np.frombuffer(b"AT", np.uint8), size=n)
+        genome[gs:ge] = np.where(is_gc, gc_pick, at_pick)
     # a couple of N blocks like real assemblies
     if length > 400_000:
         genome[1000:1600] = ord("N")

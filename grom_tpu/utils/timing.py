@@ -41,6 +41,16 @@ def _pool_acquired() -> int:
         return 0
 
 
+def _pool_live_max() -> int:
+    """Peak live slab bytes so far (0 if absent). Sampled at phase ends; the
+    first phase whose end observes a new global peak is where it happened."""
+    try:
+        from grom_tpu import _hugealloc
+        return _hugealloc.stats()["live_max"]
+    except Exception:
+        return 0
+
+
 def timing_enable(on: bool = True) -> None:
     global _enabled
     _enabled = on
@@ -65,11 +75,13 @@ def phase(label: str) -> Iterator[None]:
         dt = time.perf_counter() - t0
         u1, s1, f1 = _thread_times()
         a1 = _pool_acquired()
+        lm = _pool_live_max()
         with _lock:
-            tot, du, ds, df, da, n = _totals.get(label,
-                                                 (0.0, 0.0, 0.0, 0, 0, 0))
+            tot, du, ds, df, da, n, plm = _totals.get(
+                label, (0.0, 0.0, 0.0, 0, 0, 0, 0))
             _totals[label] = (tot + dt, du + (u1 - u0), ds + (s1 - s0),
-                              df + (f1 - f0), da + (a1 - a0), n + 1)
+                              df + (f1 - f0), da + (a1 - a0), n + 1,
+                              max(plm, lm))
 
 
 def reset() -> None:
@@ -86,11 +98,12 @@ def report(file=None) -> Dict[str, Tuple[float, float, float, int]]:
         f = file or sys.stderr
         width = max(len(k) for k in snap)
         print("== grom_tpu timing ==", file=f)
-        print("%-*s %9s %9s %9s %8s %8s"
-              % (width, "", "wall", "cpu-usr", "cpu-sys", "minflt", "acq"),
-              file=f)
-        for k, (tot, du, ds, df, da, n) in sorted(snap.items(),
-                                                  key=lambda kv: -kv[1][0]):
-            print("%-*s %8.3fs %8.3fs %8.3fs %7dk %6dM  x%d"
-                  % (width, k, tot, du, ds, df // 1000, da >> 20, n), file=f)
+        print("%-*s %9s %9s %9s %8s %8s %8s"
+              % (width, "", "wall", "cpu-usr", "cpu-sys", "minflt", "acq",
+                 "livemax"), file=f)
+        for k, (tot, du, ds, df, da, n, plm) in sorted(
+                snap.items(), key=lambda kv: -kv[1][0]):
+            print("%-*s %8.3fs %8.3fs %8.3fs %7dk %6dM %7dM  x%d"
+                  % (width, k, tot, du, ds, df // 1000, da >> 20, plm >> 20,
+                     n), file=f)
     return snap

@@ -73,7 +73,7 @@ static inline long fx(long ss, long n) {
  * ave/std: f64[2*101]. Fills stdev_list[lo:hi] (caller pre-zeroed).
  * ranks != 0 → midrank p-value path (-K 1, default); else direct z. */
 GN_API void gn_cnv_zscores(long lo, long hi,
-                           const int32_t *depth, const int64_t *mq,
+                           const int32_t *depth, const int16_t *mq,
                            const int8_t *gc, const int8_t *low_acgt,
                            const int64_t *dist_vals, const int64_t *dist_off,
                            const double *ave, const double *stdv,
@@ -152,7 +152,7 @@ GN_API void gn_cnv_zscores(long lo, long hi,
  * The per-block carry across sampling phases reproduces the reference's
  * accumulator-reset bug (see cnv.py note). */
 GN_API void gn_cnv_null_model(const int64_t *blocks, long n_blocks,
-                              const int32_t *depth, const int64_t *mq,
+                              const int32_t *depth, const int16_t *mq,
                               const int8_t *gc, const int8_t *low_acgt,
                               const int64_t *dist_off,
                               const double *stdev_list, long nb,
@@ -216,7 +216,7 @@ GN_API void gn_cnv_null_model(const int64_t *blocks, long n_blocks,
  * (starts, ends, sds); returns the total count (caller retries with a
  * larger cap if count > cap). */
 GN_API long gn_cnv_scan(long bs, long be0,
-                        const int32_t *depth, const int64_t *mq,
+                        const int32_t *depth, const int16_t *mq,
                         const int8_t *gc, const int8_t *low_acgt,
                         const int64_t *dist_off,
                         const double *stdev_list, const double *thr,

@@ -97,9 +97,7 @@ def test_device_matches_host(ds):
             assert np.array_equal(np.asarray(a), np.asarray(b)), (ds, f)
 
 
-@pytest.mark.skipif(os.environ.get("GROM_TPU_RUN_SLOW") != "1",
-                    reason="two fresh-process kernel compiles (~5 min); "
-                           "set GROM_TPU_RUN_SLOW=1 to run")
+@pytest.mark.slow
 def test_device_engine_end_to_end(tmp_path):
     """Full CLI run with GROM_TPU_ENGINE=tpu == host engine output."""
     d = os.path.join(DATA, "ds200k")

@@ -135,6 +135,40 @@ def test_mesh_engine_chunked_vcf_parity(tmp_path):
 
 
 @pytest.mark.slow
+def test_mesh_engine_real_depth(tmp_path):
+    """Mesh parity at REAL coverage: 10Mb @ 30x, multi-chunk + multi-launch
+    under strict mode. This is the regime the 0.6x scale test can't reach —
+    pow2 bucket sizing and the overflow->fallback path
+    (parallel/pipeline.py) see realistic event densities here."""
+    import jax
+
+    from grom_tpu.driver import run
+    from grom_tpu.parallel.mesh import make_mesh
+    from grom_tpu.testing.bulk_sim import bulk_dataset
+
+    fa, bam = bulk_dataset(str(tmp_path / "deep"), 10_000_000,
+                           coverage=30.0, seed=23, snp_rate=1e-3,
+                           hotspots=[(2_000_000, 2_020_000, 3.0)],
+                           depressions=[(6_000_000, 6_040_000, 0.4)])
+    base = GromConfig(bam=bam, ref_fasta=fa, out_vcf="")
+    run(base.replace(out_vcf=str(tmp_path / "host.vcf")),
+        file_date="2026725", engine="host")
+    mesh = make_mesh(4, 2, devices=jax.devices("cpu"))
+    os.environ["GROM_TPU_STRICT"] = "1"
+    os.environ["GROM_TPU_CHUNK_BASES"] = str(3 << 20)   # 4 ingest chunks
+    try:
+        run(base.replace(out_vcf=str(tmp_path / "mesh.vcf")),
+            file_date="2026725", engine="mesh", mesh=mesh)
+    finally:
+        del os.environ["GROM_TPU_STRICT"]
+        del os.environ["GROM_TPU_CHUNK_BASES"]
+    assert ((tmp_path / "host.vcf").read_bytes()
+            == (tmp_path / "mesh.vcf").read_bytes())
+    assert ((tmp_path / "host.ctx.vcf").read_bytes()
+            == (tmp_path / "mesh.ctx.vcf").read_bytes())
+
+
+@pytest.mark.slow
 def test_mesh_engine_large_chromosome(tmp_path):
     """The VERDICT-r2 scale gate: engine='mesh' on a simulated >=100Mb
     chromosome runs CHUNKED (the old whole-chromosome-only mesh limit is
