@@ -123,6 +123,75 @@ def measure_both(fa: str, bam: str):
             REFERENCE_BASES_PER_S, False, 0.0, 0.0)
 
 
+def measure_link_mb_s() -> float:
+    """Host->device bandwidth of the attached accelerator (MB/s). On a real
+    TPU VM this is PCIe-class GB/s; on the dev harness's tunneled chip it is
+    ~MB/s — the figure that decides whether the device engines can win
+    end-to-end on this machine (driver.resolve_engine's crossover)."""
+    import jax
+    buf = np.zeros(8 << 20, np.uint8)
+    jax.device_put(buf[:1 << 20]).block_until_ready()   # wake the path
+    t0 = time.time()
+    jax.device_put(buf).block_until_ready()
+    return 8.0 / max(time.time() - t0, 1e-9)
+
+
+def measure_device_e2e(fa: str, bam: str, bases: int, link_mb_s: float):
+    """End-to-end wall with GROM_TPU_ENGINE=tpu (strict: no silent host
+    fallback) when the link can carry it; otherwise an explicit
+    link-too-slow record. A tunneled chip ships every per-base tile over
+    a ~MB/s transport, so e2e there measures the tunnel, not the TPU —
+    the kernel + bytes/base figures predict real TPU-VM performance."""
+    if link_mb_s < 100.0:
+        return {"device_e2e": "link_too_slow",
+                "device_link_mb_s": round(link_mb_s, 2)}
+    out = os.path.join(os.path.dirname(bam), "grom_bench_dev.vcf")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + (os.pathsep + env["PYTHONPATH"]
+                                if env.get("PYTHONPATH") else "")
+    env["GROM_TPU_ENGINE"] = "tpu"
+    env["GROM_TPU_STRICT"] = "1"
+    try:
+        _run_ours(fa, bam, out, env)            # warm compile caches
+        wall = _run_ours(fa, bam, out, env)
+    except Exception as exc:
+        return {"device_e2e": "failed: %s" % str(exc)[:120],
+                "device_link_mb_s": round(link_mb_s, 2)}
+    return {"device_e2e_bases_per_s": round(bases / wall, 1),
+            "device_e2e_wall_s": round(wall, 2),
+            "device_link_mb_s": round(link_mb_s, 2)}
+
+
+def measure_cnv_phase(fa: str, bam: str):
+    """CNV-stage wall, host native engine vs device kernels (z-scores +
+    null window model + window scans on the attached accelerator) on the
+    bench chromosome — the VERDICT-r3 TPU-vs-host CNV phase figure."""
+    from grom_tpu.call import cnv as cnv_mod
+    from grom_tpu.call import scan as scan_mod
+    from grom_tpu.testing.fixtures import chrom_inputs
+    d = os.path.dirname(bam)
+    ci = chrom_inputs(d)
+    arr = scan_mod.accumulate_chromosome(ci.chrom, ci.batch, ci.cfg, ci.drv,
+                                         ci.ss)
+
+    def run(engine):
+        return cnv_mod.call_cnv(ci.chrom, arr.rd_hi, arr.rd_lo, arr.rd_mq,
+                                ci.cfg, ci.drv, "bench", engine=engine)
+
+    t0 = time.time()
+    rows_host = run("host")
+    t_host = time.time() - t0
+    try:
+        run("tpu")                              # warm device compiles
+        t0 = time.time()
+        rows_dev = run("tpu")
+        t_dev = time.time() - t0
+        ok = len(rows_dev) == len(rows_host)
+    except Exception:
+        t_dev, ok = 0.0, False
+    return round(t_host, 3), round(t_dev, 3), ok
+
+
 def measure_kernel(fa: str, bam: str) -> float:
     """Production per-tile kernel (ops/accumulate.py tile_kernel_core — the
     exact step every device engine dispatches) timed on REAL tiles of the
@@ -151,9 +220,11 @@ def measure_kernel(fa: str, bam: str) -> float:
     step = jax.jit(functools.partial(tile_kernel_core, **statics))
     dev_tiles = []
     bases = 0
+    ship_bytes = 0
     for np_args, ev in tiles:
         dev_tiles.append(tuple(jnp.asarray(a) for a in np_args))
         bases += ev
+        ship_bytes += sum(a.nbytes for a in np_args if hasattr(a, "nbytes"))
     # shapes may differ across tiles (pow2 caps): compile per shape once
     for t in dev_tiles:
         jax.block_until_ready(step(*t))
@@ -164,7 +235,7 @@ def measure_kernel(fa: str, bam: str) -> float:
         for t in dev_tiles:
             out = step(*t)
     jax.block_until_ready(out)
-    return bases * iters / (time.time() - t0)
+    return bases * iters / (time.time() - t0), ship_bytes / max(bases, 1)
 
 
 def main():
@@ -172,9 +243,19 @@ def main():
     (e2e, cold_wall, wall, n_rec,
      ref, ref_live, ref_cold_wall, ref_wall) = measure_both(fa, bam)
     try:
-        kernel = measure_kernel(fa, bam)
+        kernel, bytes_per_base = measure_kernel(fa, bam)
     except Exception:
-        kernel = 0.0
+        kernel, bytes_per_base = 0.0, 0.0
+    try:
+        link = measure_link_mb_s()
+    except Exception:
+        link = 0.0
+    bases = _aligned_bases(bam)
+    dev_e2e = measure_device_e2e(fa, bam, bases, link)
+    try:
+        cnv_host_s, cnv_dev_s, cnv_match = measure_cnv_phase(fa, bam)
+    except Exception:
+        cnv_host_s, cnv_dev_s, cnv_match = 0.0, 0.0, False
     print(json.dumps({
         "metric": "e2e_bases_per_s",
         "value": round(e2e, 1),
@@ -192,6 +273,11 @@ def main():
                     "then 3 alternating (ours, reference) fresh-process "
                     "pairs; metric = each side's min wall",
         "kernel_bases_per_s": round(kernel, 1),
+        "tile_bytes_per_base": round(bytes_per_base, 3),
+        "cnv_phase_host_s": cnv_host_s,
+        "cnv_phase_device_s": cnv_dev_s,
+        "cnv_device_rows_match": cnv_match,
+        **dev_e2e,
     }))
 
 

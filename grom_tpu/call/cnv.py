@@ -455,14 +455,16 @@ def _sample_distributions(chrom: np.ndarray, feats: RefFeatures,
                           prep: CnvPrep, rd_hi: np.ndarray,
                           rd_lo: np.ndarray, cfg: GromConfig,
                           drv: DerivedConfig, ploidy: int,
-                          rng: Optional[np.random.Generator] = None):
+                          rng: Optional[np.random.Generator] = None,
+                          depth: Optional[np.ndarray] = None):
     """GC-bin depth sampling + ±2-bin merge + bin stats/thresholds
     (src/GROM.c:18341-18640). Returns ((hi_arr, lo_arr), ave, std, nwin,
     del_thr, dup_thr) — the distribution inputs of the z-score, null-model
     and window-scan stages (shared by the host, native-C and device
     engines)."""
     m = drv.insert_mean
-    depth = (rd_hi.astype(np.int32) + rd_lo.astype(np.int32))
+    if depth is None:
+        depth = (rd_hi.astype(np.int32) + rd_lo.astype(np.int32))
     mq = prep.mq_mean
     gc = feats.gc_weighted
     acgt = feats.acgt_weighted
@@ -571,7 +573,8 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
                    drv: DerivedConfig, ploidy: int,
                    rng: Optional[np.random.Generator] = None,
                    gen1000_out: Optional[List[str]] = None,
-                   depth: Optional[np.ndarray] = None
+                   depth: Optional[np.ndarray] = None,
+                   engine: str = "host"
                    ) -> Tuple[List[CnvCall], List[CnvCall]]:
     L = len(chrom)
     m = drv.insert_mean
@@ -589,7 +592,7 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
     with _ph0("cnv.sample"):
         (hi_arr, lo_arr), ave, std, nwin, del_thr, dup_thr = \
             _sample_distributions(chrom, feats, prep, rd_hi, rd_lo, cfg, drv,
-                                  ploidy, rng=rng)
+                                  ploidy, rng=rng, depth=depth)
     hi_n = [len(a) for a in hi_arr]
     lo_n = [len(a) for a in lo_arr]
 
@@ -632,21 +635,29 @@ def detect_del_dup(chrom: np.ndarray, feats: RefFeatures, prep: CnvPrep,
     # z-score, null-model and window-scan stages below; the numpy code
     # remains the differential oracle (tests/test_native_cnv.py)
     import os as _os
-    if _os.environ.get("GROM_TPU_DEVICE_CNV") == "1":
+    _dc = _os.environ.get("GROM_TPU_DEVICE_CNV", "")
+    if _dc == "1" or (_dc != "0" and engine in ("tpu", "mesh")):
         # device (jax) z-scores + window scans (ops/cnv_device.py) — the
         # SURVEY §7.4 prefix-sum-pyramid formulation; bit-identical to the
         # host path under jax x64 (tests/test_cnv_device.py). The null
         # model + rescore + copy number stay host-side.
         from grom_tpu.ops import cnv_device
+        from grom_tpu.utils.timing import phase as _phd
         lo_z, hi_z = full_blocks[0]
         if hi_z > lo_z:
-            mat, lens = cnv_device.build_bin_matrix(hi_arr, lo_arr, NB)
-            stdev_list = cnv_device.zscores_device(
-                depth, mq, gc, low_acgt, mat, lens, ave, std, pv_p, pv_sd,
-                NB, lo_z, hi_z, cfg.min_mapq, cfg.mapq_factor,
-                cfg.dup_threshold_factor, cfg.ranks_stdev != 0)
-        win_std = _null_window_model(prep, depth, mq, gc, nwin, low_acgt,
-                                     stdev_list, cfg, L)
+            with _phd("cnv.zscores_dev"):
+                mat, lens = cnv_device.build_bin_matrix(hi_arr, lo_arr, NB)
+                stdev_list = cnv_device.zscores_device(
+                    depth, mq, gc, low_acgt, mat, lens, ave, std, pv_p,
+                    pv_sd, NB, lo_z, hi_z, cfg.min_mapq, cfg.mapq_factor,
+                    cfg.dup_threshold_factor, cfg.ranks_stdev != 0)
+        with _phd("cnv.nullmodel_dev"):
+            gate_nm = (low_acgt == 0) & np.where(
+                mq >= cfg.min_mapq, nwin[0, gc] > 1, nwin[1, gc] > 1)
+            win_std = cnv_device.null_model_device(
+                prep.lowvar_blocks, stdev_list, gate_nm,
+                cfg.min_rd_window_len, cfg.max_rd_window_len,
+                cfg.sampling_rate)
         if prep.most_biased_repeat != -1:
             _repeat_rescore(feats, prep, depth, low_acgt, acgt, stdev_list,
                             pv_p, pv_sd, cfg, m, rng)
@@ -1444,7 +1455,8 @@ def format_cnv_rows(chr_name: str, dels: List[CnvCall], dups: List[CnvCall],
 def call_cnv(chrom: np.ndarray, rd_hi: np.ndarray, rd_lo: np.ndarray,
              rd_mq_sum: np.ndarray, cfg: GromConfig, drv: DerivedConfig,
              chr_name: str, is_chrx: bool = False,
-             gen1000_out: Optional[List[str]] = None) -> List[str]:
+             gen1000_out: Optional[List[str]] = None,
+             engine: str = "host", release=None) -> List[str]:
     """Full CNV pipeline for one chromosome. rd_mq_sum is the raw per-base
     mapq sum (normalized to mean in here, mirroring src/GROM.c:16637).
     When -N is set, the fixed-window CN track rows land in gen1000_out.
@@ -1468,6 +1480,13 @@ def call_cnv(chrom: np.ndarray, rd_hi: np.ndarray, rd_lo: np.ndarray,
     with phase("cnv.prep"):
         prep = prep_cnv(chrom, feats, rd_hi, rd_lo, rd_mq_sum, cfg, drv,
                         depth=depth)
-    dels, dups = detect_del_dup(chrom, feats, prep, rd_hi, rd_lo, cfg, drv,
-                                ploidy, gen1000_out=gen1000_out, depth=depth)
+    # from here on only (depth, mq_mean) per-base inputs are needed —
+    # release the three caf_rd_* lists (3GB at 250Mb) before the z-score /
+    # null-model / window-scan stages peak
+    del rd_hi, rd_lo, rd_mq_sum
+    if release is not None:
+        release()
+    dels, dups = detect_del_dup(chrom, feats, prep, None, None, cfg, drv,
+                                ploidy, gen1000_out=gen1000_out, depth=depth,
+                                engine=engine)
     return format_cnv_rows(chr_name, dels, dups, cfg)

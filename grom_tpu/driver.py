@@ -871,11 +871,15 @@ def call_chromosome_streamed(chrom: np.ndarray, refid: int, out_name: str,
         np.cumsum(rd_lo, out=rd_lo)
 
     arr_fin = _rd_only_arrays(L, rd_mq, rd_hi, rd_lo)
+    # hand ownership of the depth lists to arr_fin: the CNV stage releases
+    # them (call_cnv release=) once it has folded them into depth/mq_mean,
+    # so clear the closure cells here too
+    del rd_mq, rd_hi, rd_lo
     with phase("call.snv"):
         cands = snv_mod.concat_candidates(det.snv_parts)
     return _finish_chromosome(chrom, arr_fin, cands, det.sv, det.indel,
                               out_name, cfg, drv, scan_start, scan_end,
-                              skipped)
+                              skipped, engine=engine)
 
 
 class _RdView:
@@ -902,7 +906,8 @@ def _rd_only_arrays(L, rd_mq, rd_hi, rd_lo) -> scan_mod.ChromArrays:
 def _finish_chromosome(chrom, arr, cands, sv_det, ind_det, out_name,
                        cfg: GromConfig, drv: DerivedConfig,
                        scan_start: int, scan_end: int,
-                       skipped: int) -> Tuple[List[str], List[str]]:
+                       skipped: int, engine: str = "host"
+                       ) -> Tuple[List[str], List[str]]:
     """Post-detection flush/clustering/emission: SNV flush filter, SV
     clustering, indel + CNV emission — shared by the whole-batch and
     streamed paths. ``arr`` needs only the whole-chromosome rd_* depth
@@ -942,9 +947,12 @@ def _finish_chromosome(chrom, arr, cands, sv_det, ind_det, out_name,
     from grom_tpu.ingest.fasta import is_chrx
     gen1000: List[str] = []
     with phase("call.cnv"):
+        def _release_rd(a=arr):
+            a.rd_hi = a.rd_lo = a.rd_mq = None
         rows.extend(cnv_mod.call_cnv(chrom, arr.rd_hi, arr.rd_lo, arr.rd_mq,
                                      cfg, drv, out_name, is_chrx(out_name),
-                                     gen1000_out=gen1000))
+                                     gen1000_out=gen1000, engine=engine,
+                                     release=_release_rd))
     if cfg.gen1000_window > 0:
         # per-chromosome CN track file <out>.1000gen.<chr> (src/GROM.c:20246)
         with open("%s.1000gen.%s" % (cfg.out_vcf, out_name), "w") as f:
@@ -1070,4 +1078,5 @@ def call_chromosome(chrom: np.ndarray, reads: bam_mod.RawReads,
         ind_det.run_chunk(ev_chunk, dense, 0, L, base_tot, 0,
                           scan_start, scan_end)
     return _finish_chromosome(chrom, arr, cands, sv_det, ind_det, out_name,
-                              cfg, drv, scan_start, scan_end, skipped)
+                              cfg, drv, scan_start, scan_end, skipped,
+                              engine=engine)

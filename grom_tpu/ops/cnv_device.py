@@ -28,12 +28,15 @@ Design
   mirrors the engine split everywhere else in the framework: dense
   per-base math on device, sparse stateful decisions on host.
 
-Exactness: under ``jax_enable_x64`` (CPU / differential tests) the float
-accumulation order matches the host implementation's cumsum order, so
-results are bit-identical (tests/test_cnv_device.py). On TPU hardware
-(f32 matmul-free elementwise path) scores agree to ~1e-6 relative; the
-production host path remains the default emitter, so device CNV is an
-acceleration path, enabled with GROM_TPU_DEVICE_CNV=1.
+Exactness: under ``jax_enable_x64`` (CPU / differential tests) the
+z-score and window-scan float accumulation order matches the host
+implementation's cumsum order, so those stages are bit-identical
+(tests/test_cnv_device.py); the null-window model's prefix sums are XLA
+log-depth scans, so its win_std agrees to ~1e-12 relative (and final
+calls within the emission SD tolerance). On TPU hardware (f32
+matmul-free elementwise path) scores agree to ~1e-6 relative; the host
+remains the emitter. Device CNV is the DEFAULT when the resolved engine
+is tpu/mesh; GROM_TPU_DEVICE_CNV=1/0 forces it on/off.
 """
 
 from __future__ import annotations
@@ -363,3 +366,111 @@ def window_scan_device(blocks, depth, mq, gc, nwin, low_acgt, stdev_list,
             else:
                 pos += 1
     return out
+
+
+def null_model_device(lowvar_blocks, stdev_list: np.ndarray,
+                      gate: np.ndarray, minw: int, maxw: int,
+                      sampling_rate: int,
+                      batch: int = 1024) -> np.ndarray:
+    """Per-length null window stdev on device (the host
+    cnv._null_window_model re-expressed): window boundaries are pure
+    modular arithmetic per (block, phase), so every window prefix mean
+    becomes two gathers into GLOBAL prefix sums — one device cumsum pass
+    plus batched [segments, maxw] grids replace the reference's sequential
+    window walk (src/GROM.c:18975-19015, :19180-19215).
+
+    Float caveat: XLA's cumsum is a log-depth scan, so the prefix values
+    (and the cross-phase carries) differ from the host's sequential
+    accumulation in the last ulps; scores agree to ~1e-9 relative under
+    x64 (tests/test_cnv_device.py) and the host emitter still makes the
+    calls. Returns float64 [maxw + 1]."""
+    import jax
+    import jax.numpy as jnp
+
+    zg = np.where(gate, stdev_list, 0.0)
+    cg = gate.astype(np.int64)
+    Zc = jnp.concatenate([jnp.zeros(1, jnp.float64),
+                          jnp.cumsum(jnp.asarray(zg))])
+    Cc = jnp.concatenate([jnp.zeros(1, jnp.int64),
+                          jnp.cumsum(jnp.asarray(cg))])
+
+    # ---- segment table (host; mirrors the host loop's carry rules) ----
+    seg_s: list = []
+    seg_n: list = []
+    seg_w: list = []
+    seg_reset: list = []
+    for (bs, be) in lowvar_blocks:
+        wl0 = 0
+        for phase in range(sampling_rate):
+            adj = phase * maxw // sampling_rate
+            s = bs + adj
+            while s < be:
+                room = maxw - wl0
+                e = min(s + room, be)
+                seg_s.append(s)
+                seg_n.append(e - s)
+                seg_w.append(wl0)
+                seg_reset.append(wl0 == 0)
+                if wl0 + (e - s) < maxw:
+                    wl0 += e - s
+                    break
+                wl0 = 0
+                s = e
+    S = len(seg_s)
+    win_std = np.zeros(maxw + 1)
+    if S == 0:
+        return win_std
+    s_a = np.asarray(seg_s, np.int64)
+    n_a = np.asarray(seg_n, np.int64)
+    w_a = np.asarray(seg_w, np.int64)
+    # carries (tot0/cnt0): chain of boundary prefix differences since the
+    # last reset — a handful of scalars gathered from the device arrays
+    zb0 = np.asarray(Zc[jnp.asarray(s_a)])
+    zb1 = np.asarray(Zc[jnp.asarray(s_a + n_a)])
+    cb0 = np.asarray(Cc[jnp.asarray(s_a)])
+    cb1 = np.asarray(Cc[jnp.asarray(s_a + n_a)])
+    tot0 = np.zeros(S)
+    cnt0 = np.zeros(S, np.int64)
+    run_z, run_c = 0.0, 0
+    for i in range(S):
+        if seg_reset[i]:
+            run_z, run_c = 0.0, 0
+        tot0[i] = run_z
+        cnt0[i] = run_c
+        run_z += float(zb1[i] - zb0[i])
+        run_c += int(cb1[i] - cb0[i])
+
+    j = jnp.arange(maxw)
+
+    @jax.jit
+    def eval_batch(sums, counts, s, nseg, wl0, t0, c0):
+        x = s[:, None] + 1 + j[None, :]
+        act = j[None, :] < nseg[:, None]
+        xi = jnp.where(act, x, 0)
+        z = t0[:, None] + Zc[xi] - Zc[s][:, None]
+        c = c0[:, None] + Cc[xi] - Cc[s][:, None]
+        lens = wl0[:, None] + 1 + j[None, :]
+        ok = act & (lens >= minw) & (c > 0)
+        v = jnp.where(ok, z / jnp.where(c > 0, c, 1), 0.0)
+        li = jnp.where(ok, lens, 0).ravel()
+        sums = sums.at[li].add(jnp.where(ok, v * v, 0.0).ravel())
+        counts = counts.at[li].add(ok.astype(jnp.int64).ravel())
+        return sums, counts
+
+    sums = jnp.zeros(maxw + 1, jnp.float64)
+    counts = jnp.zeros(maxw + 1, jnp.int64)
+    for b0 in range(0, S, batch):
+        b1 = min(b0 + batch, S)
+        pad = batch - (b1 - b0)
+        pz = lambda a, d: jnp.asarray(np.concatenate(
+            [a[b0:b1], np.zeros(pad, d)]) if pad else a[b0:b1])
+        sums, counts = eval_batch(sums, counts,
+                                  pz(s_a, np.int64), pz(n_a, np.int64),
+                                  pz(w_a, np.int64), pz(tot0, np.float64),
+                                  pz(cnt0, np.int64))
+    sums_h = np.asarray(sums)
+    counts_h = np.asarray(counts)
+    sel = counts_h > 1
+    win_std[sel] = np.sqrt(sums_h[sel] / (counts_h[sel] - 1))
+    win_std[:minw] = 0.0
+    return win_std

@@ -169,7 +169,10 @@ def test_device_zscores_match_host():
 
 def test_device_cnv_env_flag(tmp_path):
     """GROM_TPU_DEVICE_CNV=1 routes detect_del_dup through the device
-    kernels end-to-end with identical calls (x64)."""
+    kernels end-to-end: identical call boundaries and copy numbers; SD to
+    within float tolerance (the device null-window model's prefix sums are
+    XLA log-depth scans, so win_std agrees only to ~1e-12 relative — the
+    z-scores and window scans themselves remain bit-exact under x64)."""
     ctx = _x64()
     from grom_tpu.call import cnv as cnv_mod
     from tests.test_native_cnv import _calls, _cnv_inputs
@@ -183,5 +186,45 @@ def test_device_cnv_env_flag(tmp_path):
     finally:
         del os.environ["GROM_TPU_DEVICE_CNV"]
     for dev, host in ((dd, do), (pd, po)):
-        assert [(c.start, c.end, c.stdev, c.cn) for c in dev] == \
-            [(c.start, c.end, c.stdev, c.cn) for c in host]
+        assert [(c.start, c.end) for c in dev] == \
+            [(c.start, c.end) for c in host]
+        for cd, ch in zip(dev, host):
+            assert np.isclose(cd.stdev, ch.stdev, rtol=1e-9, atol=0), \
+                (cd.start, cd.stdev, ch.stdev)
+            assert np.isclose(cd.cn, ch.cn, rtol=1e-9, atol=1e-12)
+
+
+def test_null_model_device_matches_host():
+    """Device null-window model vs the host _null_window_model on real
+    fixture z-scores: same counts, sums within float tolerance."""
+    ctx = _x64()
+    from grom_tpu.call import cnv as cnv_mod
+    from grom_tpu.ops import cnv_device
+    from tests.test_native_cnv import _cnv_inputs
+
+    chrom, arr, cfg, drv = _cnv_inputs("ds200k")
+    feats = cnv_mod.preprocess_reference(chrom, drv.insert_mean,
+                                         cfg.min_repeat)
+    prep = cnv_mod.prep_cnv(chrom, feats, arr.rd_hi, arr.rd_lo, arr.rd_mq,
+                            cfg, drv)
+    depth = arr.rd_hi.astype(np.int32) + arr.rd_lo.astype(np.int32)
+    rng = np.random.default_rng(0)
+    (hi_arr, lo_arr), ave, std, nwin, del_thr, dup_thr = \
+        cnv_mod._sample_distributions(chrom, feats, prep, arr.rd_hi,
+                                      arr.rd_lo, cfg, drv, cfg.ploidy,
+                                      rng=rng)
+    L = len(chrom)
+    z = rng.normal(0, 1, L)   # any z field exercises the window machinery
+    gc = feats.gc_weighted
+    mq = prep.mq_mean
+    host = cnv_mod._null_window_model(prep, depth, mq, gc, nwin,
+                                      np.ones(L, np.int8) * 0, z, cfg, L)
+    gate = (np.zeros(L, np.int8) == 0) & np.where(
+        mq >= cfg.min_mapq, nwin[0, gc] > 1, nwin[1, gc] > 1)
+    with ctx:
+        dev = cnv_device.null_model_device(
+            prep.lowvar_blocks, z, gate, cfg.min_rd_window_len,
+            cfg.max_rd_window_len, cfg.sampling_rate)
+    assert host.shape == dev.shape
+    assert np.allclose(host, dev, rtol=1e-9, atol=1e-12), \
+        np.abs(host - dev).max()
