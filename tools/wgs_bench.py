@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Whole-genome -P benchmark: ours vs the reference binary on one
+multi-chromosome simulated genome (north-star #3's shape, BASELINE.md).
+
+Generates an N-chromosome genome with testing/bulk_sim.bulk_genome, then
+runs `python -m grom_tpu -P K` and `GROM -P K` on the same input,
+recording wall + peak RSS for both sides into a JSON artifact.
+
+Usage:
+    python tools/wgs_bench.py [--gb 1.0] [--procs 2] [--cov 30]
+                              [--dir /tmp/grom_wgs] [--skip-ref]
+
+--gb 2.5 reproduces the VERDICT-r3 24-chromosome scale; the default 1.0Gb
+(10 chromosomes) fits a round's wall-clock on the 2-vCPU dev host. The
+worker count defaults to the host's cores (the reference runs 2 threads
+per chromosome process; README.md:86)."""
+
+import argparse
+import json
+import os
+import resource
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# human-like length fractions, scaled to --gb
+CHROM_FRACS = [240, 200, 180, 160, 150, 140, 130, 120, 100, 80,
+               70, 60, 55, 50, 48, 45, 42, 40, 38, 35, 32, 28, 26, 24]
+
+
+def _measure(cmd, env, log_path):
+    t0 = time.time()
+    r0 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    with open(log_path, "w") as lf:
+        rc = subprocess.run(cmd, env=env, stdout=lf,
+                            stderr=subprocess.STDOUT).returncode
+    r1 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    # ru_maxrss is a high-water mark over ALL children ever — with one
+    # measured run per process tree the delta-free max is what we want
+    return dict(wall_s=round(time.time() - t0, 1),
+                peak_rss_gb=round(r1.ru_maxrss / 1048576, 2),
+                cpu_s=round((r1.ru_utime + r1.ru_stime)
+                            - (r0.ru_utime + r0.ru_stime), 1),
+                rc=rc)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gb", type=float, default=1.0)
+    ap.add_argument("--cov", type=float, default=30.0)
+    ap.add_argument("--procs", type=int, default=os.cpu_count() or 2)
+    ap.add_argument("--dir", default="/tmp/grom_wgs")
+    ap.add_argument("--skip-ref", action="store_true")
+    ap.add_argument("--skip-gen", action="store_true")
+    args = ap.parse_args()
+    os.makedirs(args.dir, exist_ok=True)
+    total_mb = args.gb * 1000
+    lens = []
+    for frac in CHROM_FRACS:
+        if sum(lens) + frac > total_mb:
+            break
+        lens.append(frac)
+    specs = [dict(name="chr%d" % (i + 1), length=int(mb * 1_000_000),
+                  coverage=args.cov, seed=100 + i,
+                  snp_rate=1e-3,
+                  hotspots=[(mb * 300_000, mb * 300_000 + 40_000, 3.0)],
+                  depressions=[(mb * 600_000, mb * 600_000 + 60_000, 0.4)])
+             for i, mb in enumerate(lens)]
+    prefix = os.path.join(args.dir, "wgs")
+    fa, bam = prefix + ".fa", prefix + ".bam"
+    result = {"genome_gb": round(sum(lens) / 1000, 3),
+              "n_chromosomes": len(lens), "coverage": args.cov,
+              "procs": args.procs, "host_cpus": os.cpu_count()}
+
+    if not args.skip_gen or not os.path.exists(bam):
+        from grom_tpu.testing.bulk_sim import bulk_genome
+        t0 = time.time()
+        bulk_genome(prefix, specs)
+        result["gen_s"] = round(time.time() - t0, 1)
+        print("generated %.2fGb genome in %.0fs"
+              % (result["genome_gb"], result["gen_s"]), flush=True)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    result["ours"] = _measure(
+        [sys.executable, "-m", "grom_tpu", "-i", bam, "-r", fa,
+         "-o", os.path.join(args.dir, "ours.vcf"), "-P", str(args.procs)],
+        env, os.path.join(args.dir, "ours.log"))
+    print("ours:", json.dumps(result["ours"]), flush=True)
+
+    if not args.skip_ref:
+        from grom_tpu.testing.oracle import _binary, oracle_available
+        if oracle_available():
+            result["reference"] = _measure(
+                [_binary(), "-i", bam, "-r", fa,
+                 "-o", os.path.join(args.dir, "ref.vcf"),
+                 "-P", str(args.procs)],
+                dict(os.environ), os.path.join(args.dir, "ref.log"))
+            print("reference:", json.dumps(result["reference"]), flush=True)
+            if result["ours"]["rc"] == 0 and result["reference"]["rc"] == 0:
+                result["speedup_vs_reference"] = round(
+                    result["reference"]["wall_s"]
+                    / result["ours"]["wall_s"], 3)
+
+    out = os.path.join(args.dir, "wgs_bench.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
