@@ -16,19 +16,11 @@ into the next detection window.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Tuple
 
 import numpy as np
 
-from grom_tpu.call.deposits import (E_CTX_F, E_CTX_R, E_DEL_F, E_DEL_R,
-                                    E_DUP_F, E_DUP_R, E_INDEL_D_F,
-                                    E_INDEL_D_R, E_INDEL_I, E_INV_F1,
-                                    E_INV_F2, E_INV_R1, E_INV_R2,
-                                    EvidenceState)
-
-_SV_ETYPES = (E_DEL_F, E_DEL_R, E_DUP_F, E_DUP_R, E_INV_F1, E_INV_F2,
-              E_INV_R1, E_INV_R2, E_CTX_F, E_CTX_R)
-
+from grom_tpu.call.deposits import E_INDEL_D_F, E_INDEL_I, EvidenceState
 
 class PrimView:
     """One primary slot (duck-typed like deposits.Primary)."""
@@ -154,25 +146,6 @@ class EvidenceChunk:
             np.concatenate([a.oth_pos, b.oth_pos]))
 
     # -- detector lookups --------------------------------------------------
-
-    def sv_screen_positions(self, af: int, md: int) -> np.ndarray:
-        """Positions with any SV-family primary whose count/af >= md
-        (the vectorized form of the round-3 dict walk)."""
-        m = (self.etype <= E_CTX_R) & (self.count // af >= md)
-        return np.unique(self.pos[m])
-
-    def block(self, pos: int) -> Tuple[int, int]:
-        """Index range of entries at ``pos`` (<= 13 entries)."""
-        a = int(np.searchsorted(self.pos, pos, side="left"))
-        b = int(np.searchsorted(self.pos, pos, side="right"))
-        return a, b
-
-    def get_block(self, a: int, b: int, etype: int) -> Optional[PrimView]:
-        et = self.etype
-        for i in range(a, b):
-            if et[i] == etype:
-                return self._view(i)
-        return None
 
     def _view(self, i: int) -> PrimView:
         seq = None

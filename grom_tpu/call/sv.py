@@ -22,10 +22,6 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from grom_tpu.call.deposits import (DenseArrays, E_CTX_F, E_CTX_R, E_DEL_F,
-                                    E_DEL_R, E_DUP_F, E_DUP_R, E_INV_F1,
-                                    E_INV_F2, E_INV_R1, E_INV_R2,
-                                    EvidenceState, Primary)
 from grom_tpu.call.scan import ChromArrays
 from grom_tpu.config import DerivedConfig, GromConfig
 
@@ -148,245 +144,113 @@ class SvDetector:
         self.ctx_f_list: List[CtxCandidate] = []
         self.ctx_r_list: List[CtxCandidate] = []
 
-    # -- helpers ------------------------------------------------------------
-
-    def _side(self, pos: int, pb: int, d, ev, binom: float, hez: float,
-              evc: int, p) -> BkptSide:
-        return BkptSide(pos=pos, binom=binom, hez=hez, ev=evc,
-                        rd=int(d.rd[pb]), conc=int(d.conc[pb]),
-                        other_len=ev.other_len(pos),
-                        read_start=p.rs if p else 0,
-                        read_end=p.re if p else 0)
-
     # -- main ---------------------------------------------------------------
 
     def run_chunk(self, ev, dense, lo: int, hi: int, scan_start: int,
-                  scan_end: int) -> None:
-        """Detect at the interesting positions of [lo, hi). ``ev`` is the
-        window's EvidenceChunk; ``dense`` the drained DenseArrays whose
-        arrays start at ``dense.base`` (whole-chromosome runs pass base 0)."""
-        af = self.af
-        md = self.cfg.min_disc
-        base = dense.base
-        prim_pos = ev.sv_screen_positions(af, md)
-        a = int(np.searchsorted(prim_pos, lo))
-        b = int(np.searchsorted(prim_pos, hi))
-        prim_pos = prim_pos[a:b]
-        # INS screen: (sc_left|sc_right + ins)/af >= md
-        s0, s1 = lo - base, hi - base
-        scl = dense.sc_left[s0:s1]
-        scr = dense.sc_right[s0:s1]
-        insv = dense.ins[s0:s1]
-        sc_mask = np.flatnonzero(((scl + insv) // af >= md)
-                                 | ((scr + insv) // af >= md)) + lo
-        interesting = np.union1d(prim_pos, sc_mask)
-        for pos in interesting:
-            pos = int(pos)
-            if pos <= self.lo_gate or pos < scan_start or pos > scan_end \
-                    or pos >= self.L:
-                continue
-            self._detect_at(pos, ev, dense, base)
+                  scan_end: int, device_scores=None) -> None:
+        """Detect over [lo, hi): the vectorized screen (sv_screen.py) scores
+        every soft-clip position and SV-family evidence entry of the window
+        in one batch of table gathers, then the exact sequential tail
+        (_consume) walks the accepted actions in the reference's order.
+        ``ev`` is the window's EvidenceChunk; ``dense`` the drained
+        DenseArrays whose arrays start at ``dense.base`` (whole-chromosome
+        runs pass base 0). ``device_scores`` optionally carries the score
+        tuple an accelerator computed for this window (ops/sv_device.py)."""
+        from grom_tpu.call import sv_screen
+        acts = sv_screen.screen_window(ev, dense, lo, hi, self.cfg, self.drv,
+                                       self.mq, self.hez, self.lo_gate,
+                                       scan_start, scan_end, self.L,
+                                       device_scores=device_scores)
+        self._consume(acts)
 
-    def _detect_at(self, pos: int, evd, d, base: int) -> None:
-        cfg, drv, af = self.cfg, self.drv, self.af
-        mq_t, hez_t = self.mq, self.hez
-        mt = cfg.max_trials
-        md = cfg.min_disc
-        thr1 = cfg.pval_threshold1
+    def _consume(self, a) -> None:
+        """Sequential tail over the accepted actions — candidate list caps,
+        bisect end-matching and the INS state machine, byte-identical to the
+        reference's scalar walk (src/GROM.c:11750-13553)."""
+        from grom_tpu.call.sv_screen import (K_CTX_F, K_CTX_R, K_DEL_END,
+                                             K_DEL_START, K_DUP_END,
+                                             K_DUP_START, K_INS_END,
+                                             K_INVF_END, K_INVF_START,
+                                             K_INVR_END, K_INVR_START)
+        cfg, drv = self.cfg, self.drv
+        cap = cfg.sv_list_len - 1
         mean = drv.insert_mean
         lseq = drv.read_len
-        pb = pos - base
-        rd = int(d.rd[pb])
-
-        # ---- INS (soft-clip based), src/GROM.c:11750-11960 ----
-        if rd + d.sc_rd[pb] > 0:
-            sc_l_rd = rd + int(d.sc_left_rd[pb])
-            if (d.sc_left[pb] + d.ins[pb]) // af >= md and sc_l_rd <= mt:
-                k = (int(d.munmapped_r[pb]) + int(d.sc_left[pb]) + int(d.ins[pb])) // af
-                binom = float(mq_t[sc_l_rd][k] if k < sc_l_rd else mq_t[sc_l_rd][sc_l_rd])
-                if binom <= cfg.pval_insertion1:
-                    self._ins_update(pos, pb, d, evd, binom, side="start")
-            sc_r_rd = rd + int(d.sc_right_rd[pb])
-            if (d.sc_right[pb] + d.ins[pb]) // af >= md and sc_r_rd <= mt:
-                k = (int(d.munmapped_f[pb]) + int(d.sc_right[pb]) + int(d.ins[pb])) // af
-                binom = float(mq_t[sc_r_rd][k] if k < sc_r_rd else mq_t[sc_r_rd][sc_r_rd])
-                if binom <= cfg.pval_insertion1:
-                    self._ins_update(pos, pb, d, evd, binom, side="end")
-
-        if rd <= 0:
-            return
-
-        blk_a, blk_b = evd.block(pos)
-
-        def get(etype):
-            return evd.get_block(blk_a, blk_b, etype)
-
-        # ---- CTX_F / CTX_R, src/GROM.c:11966-12128 ----
-        p = get(E_CTX_F)
-        if p and p.count // af >= md and pos - p.re < mean:
-            binom, hez = _binom_pair(rd, p.count,
-                                     int(d.sc_right[pb]) + int(d.munmapped_f[pb]),
-                                     mq_t, hez_t, af, mt)
-            if binom <= thr1 and len(self.ctx_f_list) < cfg.sv_list_len - 1:
-                self.ctx_f_list.append(CtxCandidate(
-                    pos, binom, hez, p.count, rd, int(d.conc[pb]),
-                    evd.other_len(pos), p.mchr, int(p.dist), p.rs, p.re))
-        p = get(E_CTX_R)
-        if p and p.count // af >= md and p.rs + lseq - pos < mean:
-            pf = get(E_CTX_F)
-            ctx_f_here = pf.count if pf else 0
-            binom, hez = _binom_pair(
-                rd, p.count, int(d.sc_left[pb]) + int(d.munmapped_r[pb]),
-                mq_t, hez_t, af, mt,
-                gate_weak=int(d.sc_right[pb]) + int(d.munmapped_f[pb]),
-                gate_strong=ctx_f_here)
-            if binom <= thr1 and len(self.ctx_r_list) < cfg.sv_list_len - 1:
-                self.ctx_r_list.append(CtxCandidate(
-                    pos, binom, hez, p.count, rd, int(d.conc[pb]),
-                    evd.other_len(pos), p.mchr, int(p.dist), p.rs, p.re))
-
-        # ---- DUP start (dup_r), src/GROM.c:12128-12205 ----
-        p = get(E_DUP_R)
-        if p and p.count // af >= md and p.rs + lseq - pos < mean:
-            binom, hez = _binom_pair(rd, p.count,
-                                     int(d.sc_left[pb]) + int(d.munmapped_r[pb]),
-                                     mq_t, hez_t, af, mt)
-            if binom <= thr1 and len(self.dup_list) < cfg.sv_list_len - 1:
-                c = SvCandidate()
-                c.start = self._side(pos, pb, d, evd, binom, hez, p.count, p)
-                c.dist = float(p.dist)
-                self.dup_list.append(c)
-                self.dup_starts.append(pos)
-
-        # ---- DUP end (dup_f) matched into start list, src/GROM.c:12207-12470 ----
-        p = get(E_DUP_F)
-        if p and p.count // af >= md and pos - p.re < mean:
-            binom, hez = _binom_pair(rd, p.count,
-                                     int(d.sc_right[pb]) + int(d.munmapped_f[pb]),
-                                     mq_t, hez_t, af, mt)
-            if binom <= thr1:
-                tolw = cfg.range_mult_tol(drv)
-                dmin = int(p.dist + 2 * lseq - tolw + 0.5)
-                dmax = int(p.dist + 2 * lseq + tolw + 0.5)
-                lo_t = pos - mean + 2 * lseq - dmax
-                hi_t = pos - mean + 2 * lseq - dmin
-                a, b = _scan_range(self.dup_starts, lo_t, hi_t)
-                for i in range(a, b):
-                    c = self.dup_list[i]
-                    if (dmin <= c.dist <= dmax and lo_t <= c.start.pos <= hi_t):
-                        e = c.end
-                        if ((e.binom > binom and p.count >= e.ev) or e.pos == -1
-                                or (e.binom == binom and p.count > e.ev)):
-                            c.end = self._side(pos, pb, d, evd, binom, hez, p.count, p)
-
-        # ---- DEL start (del_f), src/GROM.c:12474-12553 ----
-        p = get(E_DEL_F)
-        if p and p.count // af >= md and pos - p.re < mean:
-            binom, hez = _binom_pair(rd, p.count,
-                                     int(d.sc_right[pb]) + int(d.munmapped_f[pb]),
-                                     mq_t, hez_t, af, mt)
-            if binom <= thr1 and len(self.del_list) < cfg.sv_list_len - 1:
-                c = SvCandidate()
-                c.start = self._side(pos, pb, d, evd, binom, hez, p.count, p)
-                c.dist = float(p.dist)
-                self.del_list.append(c)
-                self.del_starts.append(pos)
-
-        # ---- DEL end (del_r), src/GROM.c:12555-12845 ----
-        p = get(E_DEL_R)
-        if p and p.count // af >= md and p.rs + lseq - pos < mean:
-            binom, hez = _binom_pair(rd, p.count,
-                                     int(d.sc_left[pb]) + int(d.munmapped_r[pb]),
-                                     mq_t, hez_t, af, mt)
-            if binom <= thr1:
-                tolw = cfg.range_mult_tol(drv)
-                dmin = int(p.dist - tolw + 0.5)
-                dmax = int(p.dist + tolw + 0.5)
-                lo_t = pos + mean - dmax
-                hi_t = pos + mean - dmin
-                a, b = _scan_range(self.del_starts, lo_t, hi_t)
-                for i in range(a, b):
-                    c = self.del_list[i]
-                    if (dmin <= c.dist <= dmax and lo_t <= c.start.pos <= hi_t):
-                        e = c.end
-                        # NOTE: unlike DUP/INV, DEL's equal-binom clause uses
-                        # >= (src/GROM.c:12785) — the LAST tied position wins
-                        if ((e.binom > binom and p.count >= e.ev) or e.pos == -1
-                                or (e.binom == binom and p.count >= e.ev)):
-                            c.end = self._side(pos, pb, d, evd, binom, hez, p.count, p)
-
-        # ---- INV_F start/end, src/GROM.c:12848-13196 ----
-        p = get(E_INV_F1)
-        if p and p.count // af >= md and pos - p.re < mean:
-            binom, hez = _binom_pair(rd, p.count,
-                                     int(d.sc_right[pb]) + int(d.munmapped_f[pb]),
-                                     mq_t, hez_t, af, mt)
-            if binom <= thr1 and len(self.inv_f_list) < cfg.sv_list_len - 1:
-                c = SvCandidate()
-                c.start = self._side(pos, pb, d, evd, binom, hez, p.count, p)
-                c.dist = float(p.dist)
-                self.inv_f_list.append(c)
-                self.inv_f_starts.append(pos)
-        p = get(E_INV_F2)
-        if p and p.count // af >= md and pos - p.re < mean:
-            binom, hez = _binom_pair(rd, p.count,
-                                     int(d.sc_right[pb]) + int(d.munmapped_f[pb]),
-                                     mq_t, hez_t, af, mt)
-            if binom <= thr1:
-                tolw = cfg.range_mult_tol(drv)
-                dmin = int(p.dist + lseq - tolw + 0.5)
-                dmax = int(p.dist + lseq + tolw + 0.5)
-                lo_t = pos + lseq - dmax
-                hi_t = pos + lseq - dmin
-                a, b = _scan_range(self.inv_f_starts, lo_t, hi_t)
-                for i in range(a, b):
-                    c = self.inv_f_list[i]
-                    if (dmin <= c.dist <= dmax and lo_t <= c.start.pos <= hi_t):
-                        e = c.end
-                        if ((e.binom > binom and p.count >= e.ev) or e.pos == -1
-                                or (e.binom == binom and p.count > e.ev)):
-                            c.end = self._side(pos, pb, d, evd, binom, hez, p.count, p)
-
-        # ---- INV_R start/end, src/GROM.c:13197-13553 ----
-        p = get(E_INV_R1)
-        if p and p.count // af >= md and p.rs + lseq - pos < mean:
-            binom, hez = _binom_pair(rd, p.count,
-                                     int(d.sc_left[pb]) + int(d.munmapped_r[pb]),
-                                     mq_t, hez_t, af, mt)
-            if binom <= thr1 and len(self.inv_r_list) < cfg.sv_list_len - 1:
-                c = SvCandidate()
-                c.start = self._side(pos, pb, d, evd, binom, hez, p.count, p)
-                c.dist = float(p.dist)
-                self.inv_r_list.append(c)
-                self.inv_r_starts.append(pos)
-        p = get(E_INV_R2)
-        if p and p.count // af >= md and p.rs + lseq - pos < mean:
-            binom, hez = _binom_pair(rd, p.count,
-                                     int(d.sc_left[pb]) + int(d.munmapped_r[pb]),
-                                     mq_t, hez_t, af, mt)
-            if binom <= thr1:
-                tolw = cfg.range_mult_tol(drv)
-                dmin = int(p.dist + lseq - tolw + 0.5)
-                dmax = int(p.dist + lseq + tolw + 0.5)
-                lo_t = pos + lseq - dmax
-                hi_t = pos + lseq - dmin
-                a, b = _scan_range(self.inv_r_starts, lo_t, hi_t)
-                for i in range(a, b):
-                    c = self.inv_r_list[i]
-                    if (dmin <= c.dist <= dmax and lo_t <= c.start.pos <= hi_t):
-                        e = c.end
-                        if ((e.binom > binom and p.count >= e.ev) or e.pos == -1
-                                or (e.binom == binom and p.count > e.ev)):
-                            c.end = self._side(pos, pb, d, evd, binom, hez, p.count, p)
+        tolw = cfg.range_mult_tol(drv)
+        # (start_list, starts, dmin/dmax dist shift, lo_t/hi_t pos shift,
+        #  equal-binom tie >=) per end kind; DEL's >= reproduces
+        # src/GROM.c:12785 (the LAST tied position wins, unlike DUP/INV)
+        end_rule = {
+            K_DUP_END: (self.dup_list, self.dup_starts, 2 * lseq,
+                        -mean + 2 * lseq, False),
+            K_DEL_END: (self.del_list, self.del_starts, 0, mean, True),
+            K_INVF_END: (self.inv_f_list, self.inv_f_starts, lseq, lseq,
+                         False),
+            K_INVR_END: (self.inv_r_list, self.inv_r_starts, lseq, lseq,
+                         False),
+        }
+        start_rule = {
+            K_DUP_START: (self.dup_list, self.dup_starts),
+            K_DEL_START: (self.del_list, self.del_starts),
+            K_INVF_START: (self.inv_f_list, self.inv_f_starts),
+            K_INVR_START: (self.inv_r_list, self.inv_r_starts),
+        }
+        for i in range(len(a)):
+            kind = int(a.kind[i])
+            pos = int(a.pos[i])
+            binom = float(a.binom[i])
+            evc = int(a.ev[i])
+            rd = int(a.rd[i])
+            conc = int(a.conc[i])
+            ol = int(a.other_len[i])
+            if kind <= K_INS_END:
+                self._ins_update(pos, binom, evc, rd, conc, ol,
+                                 "start" if kind == 0 else "end")
+                continue
+            hez = float(a.hez[i])
+            if kind == K_CTX_F or kind == K_CTX_R:
+                lst = self.ctx_f_list if kind == K_CTX_F else self.ctx_r_list
+                if len(lst) < cap:
+                    lst.append(CtxCandidate(
+                        pos, binom, hez, evc, rd, conc, ol,
+                        int(a.mchr[i]), int(a.dist[i]),
+                        int(a.rs[i]), int(a.re[i])))
+                continue
+            side = BkptSide(pos=pos, binom=binom, hez=hez, ev=evc, rd=rd,
+                            conc=conc, other_len=ol,
+                            read_start=int(a.rs[i]), read_end=int(a.re[i]))
+            if kind in start_rule:
+                lst, starts = start_rule[kind]
+                if len(lst) < cap:
+                    c = SvCandidate()
+                    c.start = side
+                    c.dist = float(a.dist[i])
+                    lst.append(c)
+                    starts.append(pos)
+                continue
+            lst, starts, dshift, pshift, tie_ge = end_rule[kind]
+            dist = float(a.dist[i])
+            dmin = int(dist + dshift - tolw + 0.5)
+            dmax = int(dist + dshift + tolw + 0.5)
+            lo_t = pos + pshift - dmax
+            hi_t = pos + pshift - dmin
+            sa, sb = _scan_range(starts, lo_t, hi_t)
+            for j in range(sa, sb):
+                c = lst[j]
+                if dmin <= c.dist <= dmax and lo_t <= c.start.pos <= hi_t:
+                    e = c.end
+                    if ((e.binom > binom and evc >= e.ev) or e.pos == -1
+                            or (e.binom == binom
+                                and (evc >= e.ev if tie_ge else evc > e.ev))):
+                        c.end = side
 
     # -- INS state machine (shared index), src/GROM.c:11765-11960 ----------
 
-    def _ins_update(self, pos: int, pb: int, d, evd, binom: float,
-                    side: str) -> None:
+    def _ins_update(self, pos: int, binom: float, ins_ev: int, rd: int,
+                    conc: int, other_len: int, side: str) -> None:
         cfg = self.cfg
-        fields = BkptSide(pos=pos, binom=binom, ev=int(d.ins[pb]),
-                          rd=int(d.rd[pb]), conc=int(d.conc[pb]),
-                          other_len=evd.other_len(pos))
+        fields = BkptSide(pos=pos, binom=binom, ev=ins_ev,
+                          rd=rd, conc=conc, other_len=other_len)
         lst = self.ins_list
         if not lst:
             c = SvCandidate()

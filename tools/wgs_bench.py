@@ -47,6 +47,45 @@ def _measure(cmd, env, log_path):
                 rc=rc)
 
 
+def _compare(ours_path, ref_path):
+    """Per-chromosome row comparison of the two VCFs.
+
+    The reference's -P mode SILENTLY DROPS the last chromosome of the
+    FASTA: src/GROM.c never writes g_fasta_file_position[n_chr] (the
+    one-past-the-end sentinel, GROM.c:1385 fills indices 0..n-1 of a
+    zeroed global), so launch_one_chromosome(.., size = pos[i+1] - pos[i])
+    gets a NEGATIVE size for the last chromosome (GROM.c:20999), its
+    `while (size > 0)` launches no child, and add_one_chromosome_result
+    returns on g_child_count==0 (GROM.c:608). We process every chromosome,
+    so parity is scored on the chromosomes the reference emitted."""
+
+    def by_chrom(path):
+        d = {}
+        with open(path, "rb") as f:
+            for ln in f:
+                if ln.startswith(b"#"):
+                    continue
+                d.setdefault(ln.split(b"\t", 1)[0], []).append(ln)
+        return d
+
+    ours, ref = by_chrom(ours_path), by_chrom(ref_path)
+    common = [c for c in ours if c in ref]
+    diff_lines = 0
+    for c in common:
+        a, b = ours[c], ref[c]
+        if a != b:
+            sa, sb = set(a), set(b)
+            diff_lines += len(sa ^ sb) // 2 + abs(len(a) - len(b))
+    return {
+        "ours_rows": sum(len(v) for v in ours.values()),
+        "ref_rows": sum(len(v) for v in ref.values()),
+        "common_chrom_rows_equal": all(ours[c] == ref[c] for c in common),
+        "diff_rows_common_chroms": diff_lines,
+        "chroms_only_ours": sorted(c.decode() for c in ours if c not in ref),
+        "chroms_only_ref": sorted(c.decode() for c in ref if c not in ours),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--gb", type=float, default=1.0)
@@ -105,6 +144,9 @@ def main():
                 result["speedup_vs_reference"] = round(
                     result["reference"]["wall_s"]
                     / result["ours"]["wall_s"], 3)
+                result["parity"] = _compare(
+                    os.path.join(args.dir, "ours.vcf"),
+                    os.path.join(args.dir, "ref.vcf"))
 
     out = os.path.join(args.dir, "wgs_bench.json")
     with open(out, "w") as f:
