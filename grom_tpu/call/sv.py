@@ -132,6 +132,9 @@ class SvDetector:
         self.af = cfg.add_factor
         self.lo_gate = 2 * cfg.overlap_mult * drv.insert_max
 
+        self.scorer = None   # ops/sv_device.DeviceSvScorer when a device
+                             # engine should run the screen's score math
+
         self.ins_list: List[SvCandidate] = []
         self.dup_list: List[SvCandidate] = []
         self.dup_starts: List[int] = []
@@ -147,20 +150,21 @@ class SvDetector:
     # -- main ---------------------------------------------------------------
 
     def run_chunk(self, ev, dense, lo: int, hi: int, scan_start: int,
-                  scan_end: int, device_scores=None) -> None:
+                  scan_end: int) -> None:
         """Detect over [lo, hi): the vectorized screen (sv_screen.py) scores
         every soft-clip position and SV-family evidence entry of the window
         in one batch of table gathers, then the exact sequential tail
         (_consume) walks the accepted actions in the reference's order.
         ``ev`` is the window's EvidenceChunk; ``dense`` the drained
         DenseArrays whose arrays start at ``dense.base`` (whole-chromosome
-        runs pass base 0). ``device_scores`` optionally carries the score
-        tuple an accelerator computed for this window (ops/sv_device.py)."""
+        runs pass base 0). ``self.scorer`` (set by the driver for device
+        engines, ops/sv_device.py) moves the entry score math onto the
+        attached accelerator."""
         from grom_tpu.call import sv_screen
         acts = sv_screen.screen_window(ev, dense, lo, hi, self.cfg, self.drv,
                                        self.mq, self.hez, self.lo_gate,
                                        scan_start, scan_end, self.L,
-                                       device_scores=device_scores)
+                                       scorer=self.scorer)
         self._consume(acts)
 
     def _consume(self, a) -> None:

@@ -22,7 +22,6 @@ the same documented tolerance as the device CNV kernels, ops/cnv_device.py).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
 
 import numpy as np
 
@@ -181,14 +180,15 @@ def _other_len(ev, pos: np.ndarray, cap: int = 50) -> np.ndarray:
 def screen_window(ev, dense, lo: int, hi: int, cfg: GromConfig,
                   drv: DerivedConfig, mq_tab, hez_tab, lo_gate: int,
                   scan_start: int, scan_end: int, L: int,
-                  device_scores: Optional[Tuple] = None) -> Actions:
+                  scorer=None) -> Actions:
     """Build the accepted-action stream for window [lo, hi).
 
     ``ev`` is the window's EvidenceChunk (pos-sorted, (pos, etype)-unique);
-    ``dense`` the drained DenseArrays (arrays start at dense.base).  When
-    ``device_scores`` is given (the per-entry/per-base score tuple computed
-    on an accelerator by ops/sv_device.py), the gather math is skipped and
-    only the sparse assembly runs on host."""
+    ``dense`` the drained DenseArrays (arrays start at dense.base).
+    ``scorer`` (ops/sv_device.DeviceSvScorer) runs the entry score math on
+    the attached accelerator instead of host numpy; the sparse assembly and
+    the soft-clip INS screen (already sparse after the int32 prefilter)
+    stay host-side."""
     af, md, mt = cfg.add_factor, cfg.min_disc, cfg.max_trials
     thr1 = cfg.pval_threshold1
     mean, lseq = drv.insert_mean, drv.read_len
@@ -222,8 +222,9 @@ def screen_window(ev, dense, lo: int, hi: int, cfg: GromConfig,
     ctx_f_here = np.where(j_ok, ev.count[np.minimum(j, len(key) - 1)],
                           0).astype(np.int64)
 
-    if device_scores is not None:
-        kind, acc, binom, hez = device_scores
+    if scorer is not None:
+        kind, acc, binom, hez = scorer(e_pos, e_et, e_count, e_rs, e_re,
+                                       e_rd, weak_f, weak_r, ctx_f_here)
     else:
         kind, acc, binom, hez = score_sv_entries(
             np, e_pos, e_et, e_count, e_rs, e_re, e_rd, weak_f, weak_r,

@@ -560,7 +560,8 @@ class _ChunkDetect:
     O(chromosome) (the reference's insert-sized sliding window,
     src/GROM.c:5846-6402, at chunk granularity)."""
 
-    def __init__(self, chrom, cfg, drv, mq_table, hez_table, scan_start):
+    def __init__(self, chrom, cfg, drv, mq_table, hez_table, scan_start,
+                 engine=None):
         from collections import deque
 
         from grom_tpu.call import indel as indel_mod
@@ -574,6 +575,8 @@ class _ChunkDetect:
         L = len(chrom)
         self.sv = sv_mod.SvDetector(L, cfg, drv, mq_table, hez_table)
         self.indel = indel_mod.IndelDetector(L, cfg, drv, mq_table, hez_table)
+        from grom_tpu.ops.sv_device import maybe_scorer
+        self.sv.scorer = maybe_scorer(engine, mq_table, hez_table, cfg, drv)
         self.snv_parts: List = []
         self.windows = deque()    # dicts: lo, hi, dense, ev, snv (arr|dev), bt
         self.det_lo = 0
@@ -688,7 +691,8 @@ def call_chromosome_streamed(chrom: np.ndarray, refid: int, out_name: str,
     rd_hi = np.zeros(L, np.int32)
     rd_lo = np.zeros(L, np.int32)
 
-    det = _ChunkDetect(chrom, cfg, drv, mq_table, hez_table, scan_start)
+    det = _ChunkDetect(chrom, cfg, drv, mq_table, hez_table, scan_start,
+                       engine=engine)
     scan_native = None     # host tally engine pinned on first chunk
     skipped = 0
     last_pos = -1
@@ -1068,6 +1072,8 @@ def call_chromosome(chrom: np.ndarray, reads: bam_mod.RawReads,
     L = len(chrom)
     ev_chunk = EvidenceChunk.from_state(ev)
     sv_det = sv_mod.SvDetector(L, cfg, drv, mq_table, hez_table)
+    from grom_tpu.ops.sv_device import maybe_scorer
+    sv_det.scorer = maybe_scorer(engine, mq_table, hez_table, cfg, drv)
     with phase("call.sv_detect"):
         sv_det.run_chunk(ev_chunk, dense, 0, L, scan_start, scan_end)
     ind_det = indel_mod.IndelDetector(L, cfg, drv, mq_table, hez_table)
