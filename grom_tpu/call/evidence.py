@@ -3,10 +3,11 @@
 The deposit engines emit typed evidence (primary slots + other-slot counts,
 deposits.py / native/grom_deposits.c) as flat arrays in flush order:
 position-ascending, etype-ascending within a position. ``EvidenceChunk``
-wraps one drained batch of those arrays and serves the three lookups the
-detectors need — the per-position primary fetch, the other-slot count, and
-the vectorized "interesting position" screens — without materializing a
-Python object per (etype, position) the way the round-3 dict form did.
+wraps one drained batch of those arrays: the detectors' vectorized screens
+(sv_screen.py, indel._score_events) consume the entry arrays directly, and
+``other_len`` serves the per-position other-slot count, without
+materializing a Python object per (etype, position) the way the round-3
+dict form did.
 
 Chunks concatenate and split losslessly, which is how the streamed driver
 carries early-flushed entries (positions beyond the current drain bound)
@@ -16,24 +17,11 @@ into the next detection window.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Iterator, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
-from grom_tpu.call.deposits import E_INDEL_D_F, E_INDEL_I, EvidenceState
-
-class PrimView:
-    """One primary slot (duck-typed like deposits.Primary)."""
-    __slots__ = ("count", "dist", "rs", "re", "mchr", "seq")
-
-    def __init__(self, count, dist, rs, re, mchr, seq=None):
-        self.count = count
-        self.dist = dist
-        self.rs = rs
-        self.re = re
-        self.mchr = mchr
-        self.seq = seq
-
+from grom_tpu.call.deposits import EvidenceState
 
 _Z64 = np.empty(0, np.int64)
 _Z32 = np.empty(0, np.int32)
@@ -147,33 +135,7 @@ class EvidenceChunk:
 
     # -- detector lookups --------------------------------------------------
 
-    def _view(self, i: int) -> PrimView:
-        seq = None
-        if self.seq_len[i] >= 0:
-            o = int(self.seq_off[i])
-            seq = self.seq_arena[o:o + int(self.seq_len[i])]
-        return PrimView(int(self.count[i]), float(self.dist[i]),
-                        int(self.rs[i]), int(self.re[i]),
-                        int(self.mchr[i]), seq)
-
     def other_len(self, pos: int, cap: int = 50) -> int:
         a = int(np.searchsorted(self.oth_pos, pos, side="left"))
         b = int(np.searchsorted(self.oth_pos, pos, side="right"))
         return min(b - a, cap)
-
-    def indel_events(self, af: int) -> Iterator[Tuple[int, int, PrimView]]:
-        """(pos, kind, prim) for indel-family entries in (pos, kind) order;
-        kind 0=ins (count//af>=1 gate), 1=d_f, 2=d_r — matching the round-3
-        event walk (call/indel.py)."""
-        idx = np.flatnonzero(self.etype >= E_INDEL_I)
-        for i in idx:
-            et = int(self.etype[i])
-            if et == E_INDEL_I:
-                if self.count[i] // af < 1:
-                    continue
-                kind = 0
-            elif et == E_INDEL_D_F:
-                kind = 1
-            else:
-                kind = 2
-            yield int(self.pos[i]), kind, self._view(i)

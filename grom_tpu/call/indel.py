@@ -93,66 +93,44 @@ class IndelDetector:
         """Consume the indel events of [lo, hi). ``dense`` arrays start at
         ``dense.base`` (with >= 1 position of final halo past ``hi`` for the
         sc_left[pos+1] read); ``base_tot`` (per-base SNV totals) starts at
-        ``bt_base``."""
-        cfg, drv = self.cfg, self.drv
-        af = cfg.add_factor
-        thr1 = cfg.pval_threshold1
-        mq_table, hez_table = self.mq, self.hez
-        base = dense.base
+        ``bt_base``.
+
+        Like the SV screen (sv_screen.py), the per-event score math —
+        binomial-table gathers + integer gates, src/GROM.c:14474-15330 —
+        is batched over the whole window; only the accepted events reach
+        the sequential INDEL_DEL state machine below."""
+        cfg = self.cfg
         L = self.L
         ins_list, del_list = self.ins_list, self.del_list
 
-        for pos, kind, p in ev.indel_events(af):
-            if pos < lo or pos >= hi:
-                continue
-            if pos <= self.lo_gate:
-                continue
-            if pos < scan_start or pos > scan_end or pos >= L:
-                continue
+        (idx, kinds, binoms, hezs, counts, rds) = self._score_events(
+            ev, dense, lo, hi, base_tot, bt_base, scan_start, scan_end)
+        base = dense.base
+        for w in range(len(idx)):
+            i = int(idx[w])
+            pos = int(ev.pos[i])
+            kind = int(kinds[w])
+            binom = float(binoms[w])
+            hez = float(hezs[w])
             pb = pos - base
-            if (dense.rd[pb] + dense.indel_sc_rd[pb]) <= 0:
-                continue
-            rd_base = int(base_tot[pos - bt_base])
             if kind == 0:
-                i_temp = p.count
-                if i_temp // af > rd_base:
-                    i_temp = rd_base * af
-                if i_temp // af < cfg.min_disc or rd_base > cfg.max_trials:
-                    continue
-                binom = mq_table[rd_base][i_temp // af]
-                k1 = (i_temp + int(dense.indel_sc_left[pb])) // af
-                if k1 < rd_base:
-                    hez = hez_table[rd_base][k1]
-                    k2 = (i_temp + int(dense.indel_sc_right[pb])) // af
-                    if k2 < rd_base:
-                        if hez_table[rd_base][k2] > hez:
-                            hez = hez_table[rd_base][k2]
-                    else:
-                        hez = hez_table[rd_base][rd_base]
-                else:
-                    hez = hez_table[rd_base][rd_base]
-                if binom <= thr1 and len(ins_list) < cfg.sv_list_len - 1:
+                if len(ins_list) < cfg.sv_list_len - 1:
                     sc = int(dense.sc_left[pb + 1]) if pos + 1 < L else 0
                     sc += int(dense.sc_right[pb])
+                    seq = None
+                    if ev.seq_len[i] >= 0:
+                        o = int(ev.seq_off[i])
+                        seq = ev.seq_arena[o:o + int(ev.seq_len[i])]
                     ins_list.append(InsCandidate(
-                        start=pos, binom=float(binom), hez=float(hez),
-                        dist=int(p.dist), conc=int(dense.conc[pb]), i=i_temp,
-                        rd=rd_base, sc=sc, other_len=ev.other_len(pos),
-                        seq=p.seq))
+                        start=pos, binom=binom, hez=hez,
+                        dist=int(ev.dist[i]), conc=int(dense.conc[pb]),
+                        i=int(counts[w]), rd=int(rds[w]), sc=sc,
+                        other_len=ev.other_len(pos), seq=seq))
             elif kind == 1:
-                f_temp = p.count
-                rd_t = f_temp // af + rd_base
-                if f_temp // af < cfg.min_disc or rd_t > cfg.max_trials:
-                    continue
-                binom = mq_table[rd_t][f_temp // af]
-                k = (f_temp + int(dense.indel_sc_right[pb])) // af
-                hez = hez_table[rd_t][k] if k < rd_t else hez_table[rd_t][rd_t]
-                if binom > thr1:
-                    continue
-                fields = dict(start=pos, start_binom=float(binom),
-                              start_hez=float(hez),
+                fields = dict(start=pos, start_binom=binom,
+                              start_hez=hez,
                               start_conc=int(dense.conc[pb]),
-                              f=f_temp, start_rd=rd_t,
+                              f=int(counts[w]), start_rd=int(rds[w]),
                               start_sc=int(dense.sc_right[pb]),
                               start_other_len=ev.other_len(pos))
                 if self.d_index == -1:
@@ -164,8 +142,8 @@ class IndelDetector:
                         if self.d_index < cfg.sv_list_len - 1:
                             self.d_index += 1
                             del_list.append(DelCandidate(**fields))
-                    elif (pos - cur.start > drv.read_len and cur.end == -1) or \
-                            binom < cur.start_binom:
+                    elif (pos - cur.start > self.drv.read_len
+                          and cur.end == -1) or binom < cur.start_binom:
                         old_end = cur.end
                         for k2, v in fields.items():
                             setattr(cur, k2, v)
@@ -174,18 +152,11 @@ class IndelDetector:
                         else:
                             cur.end = old_end
             else:  # kind == 2: d_r
-                r_temp = p.count
-                rd_t = r_temp // af + rd_base
-                if self.d_index < 0 or r_temp // af < cfg.min_disc \
-                        or rd_t > cfg.max_trials:
-                    continue
-                binom = mq_table[rd_t][r_temp // af]
-                k = (r_temp + int(dense.indel_sc_left[pb])) // af
-                hez = hez_table[rd_t][k] if k < rd_t else hez_table[rd_t][rd_t]
-                if binom > thr1:
+                if self.d_index < 0:
                     continue
                 cur = del_list[self.d_index]
-                dist_ok = (float(pos) - float(cur.start) - float(p.dist)) < 5.0
+                dist_ok = (float(pos) - float(cur.start)
+                           - float(ev.dist[i])) < 5.0
                 set_end = False
                 if dist_ok and cur.start != -1 and cur.end != -1:
                     set_end = True
@@ -193,13 +164,82 @@ class IndelDetector:
                     set_end = True
                 if set_end:
                     cur.end = pos
-                    cur.end_binom = float(binom)
-                    cur.end_hez = float(hez)
+                    cur.end_binom = binom
+                    cur.end_hez = hez
                     cur.end_conc = int(dense.conc[pb])
-                    cur.r = r_temp
-                    cur.end_rd = rd_t
+                    cur.r = int(counts[w])
+                    cur.end_rd = int(rds[w])
                     cur.end_sc = int(dense.sc_left[pb])
                     cur.end_other_len = ev.other_len(pos)
+
+    def _score_events(self, ev, dense, lo: int, hi: int,
+                      base_tot: np.ndarray, bt_base: int,
+                      scan_start: int, scan_end: int):
+        """Batched score pass: returns (entry index, kind, binom, hez,
+        count, trials) arrays for the ACCEPTED indel events of [lo, hi),
+        in (pos, kind) order — exactly the events the scalar walk would
+        have let through its value gates (state-dependent gates — list
+        caps, d_index — stay in the caller)."""
+        from grom_tpu.call.deposits import E_INDEL_I
+        cfg = self.cfg
+        af = cfg.add_factor
+        md, mt = cfg.min_disc, cfg.max_trials
+        mq_t, hez_t = self.mq, self.hez
+        base = dense.base
+        Z = (np.empty(0, np.int64), np.empty(0, np.int32), np.empty(0),
+             np.empty(0), np.empty(0, np.int64), np.empty(0, np.int64))
+
+        idx = np.flatnonzero(
+            (ev.etype >= E_INDEL_I) & (ev.pos >= lo) & (ev.pos < hi)
+            & (ev.pos > self.lo_gate) & (ev.pos >= scan_start)
+            & (ev.pos <= scan_end) & (ev.pos < self.L))
+        if not len(idx):
+            return Z
+        pos = ev.pos[idx]
+        pb = (pos - base).astype(np.intp)
+        alive = (dense.rd[pb].astype(np.int64)
+                 + dense.indel_sc_rd[pb]) > 0
+        idx = idx[alive]
+        if not len(idx):
+            return Z
+        pos, pb = pos[alive], pb[alive]
+        kind = (ev.etype[idx] - E_INDEL_I).astype(np.int32)  # 0=i, 1=d_f, 2=d_r
+        count = ev.count[idx].astype(np.int64)
+        rd_base = base_tot[(pos - bt_base).astype(np.intp)].astype(np.int64)
+
+        # INDEL_I: count clamp to rd_base*af (src/GROM.c:14480), then the
+        # count//af >= 1 event gate (evidence.indel_events) + min_disc/mt
+        is_i = kind == 0
+        cnt = np.where(is_i & (count // af > rd_base), rd_base * af, count)
+        trials = np.where(is_i, rd_base, cnt // af + rd_base)
+        ok = np.where(is_i, (count // af >= 1) & (cnt // af >= md),
+                      cnt // af >= md) & (trials <= mt)
+
+        row = np.minimum(trials, mt)
+        binom = mq_t[row, np.minimum(cnt // af, mt)]
+        # hez: INDEL_I takes max over left/right soft-clip columns with the
+        # nested else-overwrite (src/GROM.c:14500-14530); d_f uses right,
+        # d_r uses left
+        scl = dense.indel_sc_left[pb].astype(np.int64)
+        scr = dense.indel_sc_right[pb].astype(np.int64)
+        k1 = (cnt + np.where(kind == 2, scl, scr)) // af   # d_f/d_r column
+        hez_side = hez_t[row, np.minimum(np.where(k1 < trials, k1, trials),
+                                         mt)]
+        ki1 = (cnt + scl) // af
+        ki2 = (cnt + scr) // af
+        hez_rr = hez_t[row, np.minimum(trials, mt)]
+        hez_i = np.where(
+            ki1 < trials,
+            np.where(ki2 < trials,
+                     np.maximum(hez_t[row, np.minimum(ki1, mt)],
+                                hez_t[row, np.minimum(ki2, mt)]),
+                     hez_rr),
+            hez_rr)
+        hez = np.where(is_i, hez_i, hez_side)
+        ok &= binom <= cfg.pval_threshold1
+
+        w = np.flatnonzero(ok)
+        return (idx[w], kind[w], binom[w], hez[w], cnt[w], trials[w])
 
 
 def _homopolymer_ins(chrom: np.ndarray, start: int) -> int:
