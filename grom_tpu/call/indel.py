@@ -96,7 +96,7 @@ class IndelDetector:
         ``bt_base``.
 
         Like the SV screen (sv_screen.py), the per-event score math —
-        binomial-table gathers + integer gates, src/GROM.c:14474-15330 —
+        binomial-table gathers + integer gates, src/GROM.c:11340-11750 —
         is batched over the whole window; only the accepted events reach
         the sequential INDEL_DEL state machine below."""
         cfg = self.cfg
@@ -207,8 +207,8 @@ class IndelDetector:
         count = ev.count[idx].astype(np.int64)
         rd_base = base_tot[(pos - bt_base).astype(np.intp)].astype(np.int64)
 
-        # INDEL_I: count clamp to rd_base*af (src/GROM.c:14480), then the
-        # count//af >= 1 event gate (evidence.indel_events) + min_disc/mt
+        # INDEL_I: count clamp to rd_base*af (src/GROM.c:11346-11350), then
+        # the count//af >= 1 event gate + min_disc/mt (src/GROM.c:11352)
         is_i = kind == 0
         cnt = np.where(is_i & (count // af > rd_base), rd_base * af, count)
         trials = np.where(is_i, rd_base, cnt // af + rd_base)
@@ -218,7 +218,7 @@ class IndelDetector:
         row = np.minimum(trials, mt)
         binom = mq_t[row, np.minimum(cnt // af, mt)]
         # hez: INDEL_I takes max over left/right soft-clip columns with the
-        # nested else-overwrite (src/GROM.c:14500-14530); d_f uses right,
+        # nested else-overwrite (src/GROM.c:11361-11395); d_f uses right,
         # d_r uses left
         scl = dense.indel_sc_left[pb].astype(np.int64)
         scr = dense.indel_sc_right[pb].astype(np.int64)
