@@ -70,9 +70,14 @@ class DeviceSvScorer:
                 np.asarray(binom)[:n], np.asarray(hez)[:n])
 
 
+_CACHE: dict = {}
+
+
 def maybe_scorer(engine: Optional[str], mq_tab: np.ndarray,
                  hez_tab: np.ndarray, cfg, drv) -> Optional[DeviceSvScorer]:
-    """The engine-policy gate described in the module docstring."""
+    """The engine-policy gate described in the module docstring.  Scorers
+    are memoized per parameter set (the tables are process-wide constants)
+    so per-chromosome calls reuse one jit cache."""
     dc = os.environ.get("GROM_TPU_DEVICE_SV", "")
     if dc == "0":
         return None
@@ -82,9 +87,18 @@ def maybe_scorer(engine: Optional[str], mq_tab: np.ndarray,
         import jax
         if dc != "1" and not jax.config.read("jax_enable_x64"):
             return None
-        return DeviceSvScorer(mq_tab, hez_tab, cfg.add_factor,
-                              cfg.max_trials, cfg.min_disc,
-                              cfg.pval_threshold1, drv.insert_mean,
-                              drv.read_len)
+        key = (cfg.add_factor, cfg.max_trials, cfg.min_disc,
+               cfg.pval_threshold1, drv.insert_mean, drv.read_len)
+        hit = _CACHE.get(key)
+        # held table references make the identity check safe against id reuse
+        if hit is not None and hit[0] is mq_tab and hit[1] is hez_tab:
+            return hit[2]
+        sc = DeviceSvScorer(mq_tab, hez_tab, cfg.add_factor,
+                            cfg.max_trials, cfg.min_disc,
+                            cfg.pval_threshold1, drv.insert_mean,
+                            drv.read_len)
+        _CACHE.clear()
+        _CACHE[key] = (mq_tab, hez_tab, sc)
+        return sc
     except Exception:
         return None

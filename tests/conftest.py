@@ -7,6 +7,13 @@ import sys
 # Hard override: the environment pins JAX_PLATFORMS=axon (single real TPU);
 # tests exercise sharding on a virtual 8-device CPU mesh instead.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Dev-harness tunnel hooks must not reach test processes: the axon
+# sitecustomize can route XLA compiles over the TPU tunnel
+# (PALLAS_AXON_REMOTE_COMPILE), and a stalled tunnel then blocks a CPU-mesh
+# compile forever in recvfrom (observed: 10Mb mesh test hung ~1h at 0% CPU)
+for _k in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+           "AXON_LOOPBACK_RELAY"):
+    os.environ.pop(_k, None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
