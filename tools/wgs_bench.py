@@ -31,20 +31,31 @@ CHROM_FRACS = [240, 200, 180, 160, 150, 140, 130, 120, 100, 80,
                70, 60, 55, 50, 48, 45, 42, 40, 38, 35, 32, 28, 26, 24]
 
 
+_WRAPPER = """\
+import json, resource, subprocess, sys, time
+t0 = time.time()
+with open(sys.argv[1], "w") as lf:
+    rc = subprocess.run(sys.argv[2:], stdout=lf,
+                        stderr=subprocess.STDOUT).returncode
+ru = resource.getrusage(resource.RUSAGE_CHILDREN)
+print(json.dumps(dict(wall_s=round(time.time() - t0, 1),
+                      peak_rss_gb=round(ru.ru_maxrss / 1048576, 2),
+                      cpu_s=round(ru.ru_utime + ru.ru_stime, 1), rc=rc)))
+"""
+
+
 def _measure(cmd, env, log_path):
-    t0 = time.time()
-    r0 = resource.getrusage(resource.RUSAGE_CHILDREN)
-    with open(log_path, "w") as lf:
-        rc = subprocess.run(cmd, env=env, stdout=lf,
-                            stderr=subprocess.STDOUT).returncode
-    r1 = resource.getrusage(resource.RUSAGE_CHILDREN)
-    # ru_maxrss is a high-water mark over ALL children ever — with one
-    # measured run per process tree the delta-free max is what we want
-    return dict(wall_s=round(time.time() - t0, 1),
-                peak_rss_gb=round(r1.ru_maxrss / 1048576, 2),
-                cpu_s=round((r1.ru_utime + r1.ru_stime)
-                            - (r0.ru_utime + r0.ru_stime), 1),
-                rc=rc)
+    # a FRESH wrapper process isolates ru_maxrss per measured run:
+    # RUSAGE_CHILDREN is a high-water over every child a process ever
+    # waited, so measuring two runs from one parent masks the second
+    # side's peak behind the first's
+    r = subprocess.run([sys.executable, "-c", _WRAPPER, log_path, *cmd],
+                       env=env, capture_output=True, text=True)
+    try:
+        return json.loads(r.stdout.strip().splitlines()[-1])
+    except (ValueError, IndexError):
+        return dict(wall_s=-1.0, peak_rss_gb=-1.0, cpu_s=-1.0, rc=-9,
+                    error=r.stderr[-500:])
 
 
 def _compare(ours_path, ref_path):
@@ -93,6 +104,9 @@ def main():
     ap.add_argument("--procs", type=int, default=os.cpu_count() or 2)
     ap.add_argument("--dir", default="/tmp/grom_wgs")
     ap.add_argument("--skip-ref", action="store_true")
+    ap.add_argument("--skip-ours", action="store_true",
+                    help="re-measure only the reference side (ours.vcf must "
+                         "exist from a prior run for the parity section)")
     ap.add_argument("--skip-gen", action="store_true")
     args = ap.parse_args()
     os.makedirs(args.dir, exist_ok=True)
@@ -125,11 +139,13 @@ def main():
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
     env.pop("PALLAS_AXON_POOL_IPS", None)
-    result["ours"] = _measure(
-        [sys.executable, "-m", "grom_tpu", "-i", bam, "-r", fa,
-         "-o", os.path.join(args.dir, "ours.vcf"), "-P", str(args.procs)],
-        env, os.path.join(args.dir, "ours.log"))
-    print("ours:", json.dumps(result["ours"]), flush=True)
+    if not args.skip_ours:
+        result["ours"] = _measure(
+            [sys.executable, "-m", "grom_tpu", "-i", bam, "-r", fa,
+             "-o", os.path.join(args.dir, "ours.vcf"),
+             "-P", str(args.procs)],
+            env, os.path.join(args.dir, "ours.log"))
+        print("ours:", json.dumps(result["ours"]), flush=True)
 
     if not args.skip_ref:
         from grom_tpu.testing.oracle import _binary, oracle_available
@@ -140,10 +156,12 @@ def main():
                  "-P", str(args.procs)],
                 dict(os.environ), os.path.join(args.dir, "ref.log"))
             print("reference:", json.dumps(result["reference"]), flush=True)
-            if result["ours"]["rc"] == 0 and result["reference"]["rc"] == 0:
+            ref_ok = result["reference"]["rc"] == 0
+            if "ours" in result and result["ours"]["rc"] == 0 and ref_ok:
                 result["speedup_vs_reference"] = round(
                     result["reference"]["wall_s"]
                     / result["ours"]["wall_s"], 3)
+            if ref_ok and os.path.exists(os.path.join(args.dir, "ours.vcf")):
                 result["parity"] = _compare(
                     os.path.join(args.dir, "ours.vcf"),
                     os.path.join(args.dir, "ref.vcf"))
