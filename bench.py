@@ -58,12 +58,12 @@ def _aligned_bases(bam: str) -> int:
     return int(reads.lseq.sum())
 
 
-def _run_ours(fa: str, bam: str, out: str, env) -> float:
+def _run_ours(fa: str, bam: str, out: str, env, timeout: int = 3600) -> float:
     t0 = time.time()
     r = subprocess.run([sys.executable, "-m", "grom_tpu", "-i", bam,
                         "-r", fa, "-o", out],
                        env=env, capture_output=True, text=True,
-                       timeout=3600)
+                       timeout=timeout)
     if r.returncode != 0:
         raise RuntimeError("pipeline failed: " + r.stderr[-2000:])
     return time.time() - t0
@@ -152,8 +152,15 @@ def measure_device_e2e(fa: str, bam: str, bases: int, link_mb_s: float):
     env["GROM_TPU_ENGINE"] = "tpu"
     env["GROM_TPU_STRICT"] = "1"
     try:
-        _run_ours(fa, bam, out, env)            # warm compile caches
-        wall = _run_ours(fa, bam, out, env)
+        # own cap: a degraded tunnel can pass the 8MB link probe yet crawl
+        # on the full per-base tile stream (observed: >17min at ~1% CPU) —
+        # record an explicit failure instead of hanging the whole bench
+        _run_ours(fa, bam, out, env, timeout=900)   # warm compile caches
+        wall = _run_ours(fa, bam, out, env, timeout=900)
+    except subprocess.TimeoutExpired:
+        return {"device_e2e": "tunnel_too_slow: >900s on 4Mb (link probe "
+                              "%.0fMB/s is loopback-relay-inflated)" % link_mb_s,
+                "device_link_mb_s": round(link_mb_s, 2)}
     except Exception as exc:
         return {"device_e2e": "failed: %s" % str(exc)[:120],
                 "device_link_mb_s": round(link_mb_s, 2)}
@@ -181,14 +188,18 @@ def measure_cnv_phase(fa: str, bam: str):
     t0 = time.time()
     rows_host = run("host")
     t_host = time.time() - t0
-    try:
+
+    def dev():
         run("tpu")                              # warm device compiles
-        t0 = time.time()
+        t1 = time.time()
         rows_dev = run("tpu")
-        t_dev = time.time() - t0
-        ok = len(rows_dev) == len(rows_host)
-    except Exception:
+        return time.time() - t1, len(rows_dev)
+
+    res = _with_timeout(dev, 600, None)         # keep the host figure even
+    if res is None:                             # when the tunnel stalls
         t_dev, ok = 0.0, False
+    else:
+        t_dev, ok = res[0], res[1] == len(rows_host)
     return round(t_host, 3), round(t_dev, 3), ok
 
 
@@ -238,18 +249,33 @@ def measure_kernel(fa: str, bam: str) -> float:
     return bases * iters / (time.time() - t0), ship_bytes / max(bases, 1)
 
 
+def _with_timeout(fn, seconds, default):
+    """Run fn() under a SIGALRM deadline: the in-process device probes can
+    otherwise block forever in recvfrom when the dev-harness TPU tunnel
+    dies (recvfrom releases the GIL, so the alarm interrupts it)."""
+    import signal
+
+    def handler(signum, frame):
+        raise TimeoutError("device probe timed out")
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+    try:
+        return fn()
+    except BaseException:
+        return default
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main():
     fa, bam = _dataset()
     (e2e, cold_wall, wall, n_rec,
      ref, ref_live, ref_cold_wall, ref_wall) = measure_both(fa, bam)
-    try:
-        kernel, bytes_per_base = measure_kernel(fa, bam)
-    except Exception:
-        kernel, bytes_per_base = 0.0, 0.0
-    try:
-        link = measure_link_mb_s()
-    except Exception:
-        link = 0.0
+    kernel, bytes_per_base = _with_timeout(
+        lambda: measure_kernel(fa, bam), 900, (0.0, 0.0))
+    link = _with_timeout(measure_link_mb_s, 180, 0.0)
     bases = _aligned_bases(bam)
     dev_e2e = measure_device_e2e(fa, bam, bases, link)
     try:
