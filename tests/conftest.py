@@ -14,6 +14,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 for _k in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
            "AXON_LOOPBACK_RELAY"):
     os.environ.pop(_k, None)
+# Synchronous CPU dispatch: XLA's async CPU runner intermittently loses a
+# wakeup on this 2-vCPU host with 8 forced devices (mesh tests deadlock at
+# 0% CPU inside batched_device_put waiting on a prior pjit; 3/3 repros on
+# the 10Mb mesh test). Dispatch latency is irrelevant for tests.
+os.environ.setdefault("JAX_CPU_ENABLE_ASYNC_DISPATCH", "false")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
