@@ -179,7 +179,7 @@ def measure_cnv_phase(fa: str, bam: str):
     d = os.path.dirname(bam)
     ci = chrom_inputs(d)
     arr = scan_mod.accumulate_chromosome(ci.chrom, ci.batch, ci.cfg, ci.drv,
-                                         ci.ss)
+                                         ci.scan_start)
 
     def run(engine):
         return cnv_mod.call_cnv(ci.chrom, arr.rd_hi, arr.rd_lo, arr.rd_mq,
@@ -262,7 +262,7 @@ def _with_timeout(fn, seconds, default):
     signal.alarm(seconds)
     try:
         return fn()
-    except BaseException:
+    except Exception:
         return default
     finally:
         signal.alarm(0)

@@ -218,20 +218,28 @@ def run_parallel(cfg: GromConfig) -> None:
             for sub, start, end in regs:
                 jobs.append((cfg.to_json(), refid, sub, start, end,
                              "%s.part.%d-%d" % (cfg.out_vcf, refid, sub)))
+    pool_cap_set = False
     if "GROM_TPU_POOL_CAP" not in os.environ:
         # the allocator's default slab-pool cap (half of physical RAM,
         # grom_tpu/__init__.py) is sized for ONE pipeline; spawn workers
         # each install their own pool, so divide it by the worker count or
-        # P workers retain P x half-RAM of warm slabs
+        # P workers retain P x half-RAM of warm slabs. No floor: the
+        # aggregate across workers must stay <= half of physical RAM
+        # (spawned workers inherit the env; restored in the parent below)
         try:
             half = (os.sysconf("SC_PHYS_PAGES")
                     * os.sysconf("SC_PAGE_SIZE")) // 2
-            per = max(2 << 30, half // max(cfg.processes, 1))
+            per = max(64 << 20, half // max(cfg.processes, 1))
             os.environ["GROM_TPU_POOL_CAP"] = str(per)
+            pool_cap_set = True
         except (ValueError, OSError, AttributeError):
             pass
-    with multiprocessing.get_context("spawn").Pool(cfg.processes) as pool:
-        results = pool.map(_run_one_chromosome, jobs)
+    try:
+        with multiprocessing.get_context("spawn").Pool(cfg.processes) as pool:
+            results = pool.map(_run_one_chromosome, jobs)
+    finally:
+        if pool_cap_set:
+            del os.environ["GROM_TPU_POOL_CAP"]
     results.sort(key=lambda t: t[0])
     prelude = None
     if not cfg.vcf_output:

@@ -100,5 +100,12 @@ def maybe_scorer(engine: Optional[str], mq_tab: np.ndarray,
         _CACHE.clear()
         _CACHE[key] = (mq_tab, hez_tab, sc)
         return sc
-    except Exception:
+    except Exception as exc:
+        # degrading to the host screen is correct but must be diagnosable:
+        # a broken device config would otherwise look like a policy choice
+        if not _CACHE.get("_warned"):
+            _CACHE["_warned"] = True
+            import warnings
+            warnings.warn("grom_tpu: device SV scorer unavailable, using "
+                          "host screen (%s: %s)" % (type(exc).__name__, exc))
         return None

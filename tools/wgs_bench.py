@@ -85,8 +85,14 @@ def _compare(ours_path, ref_path):
     for c in common:
         a, b = ours[c], ref[c]
         if a != b:
-            sa, sb = set(a), set(b)
-            diff_lines += len(sa ^ sb) // 2 + abs(len(a) - len(b))
+            # multiset diff (Counter): exact under duplicate identical rows
+            # and reordering; a changed row counts once (max of each side's
+            # unmatched rows)
+            from collections import Counter
+            ca, cb = Counter(a), Counter(b)
+            only_a = sum((ca - cb).values())
+            only_b = sum((cb - ca).values())
+            diff_lines += max(only_a, only_b)
     return {
         "ours_rows": sum(len(v) for v in ours.values()),
         "ref_rows": sum(len(v) for v in ref.values()),
