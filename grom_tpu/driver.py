@@ -850,7 +850,12 @@ def call_chromosome_streamed(chrom: np.ndarray, refid: int, out_name: str,
             else:
                 snv_src = None if device else snv_chunk_arrays(d0, d1)
                 elig_keep = None
-            fed.append((d0, d1, batch_all, elig_keep, snv_src))
+            # host engines never read the batch back out of the queue
+            # (drain_one uses it only for the device accumulate jobs), so
+            # don't let a queued entry keep the PREVIOUS ingest chunk's
+            # ~GB-scale read tensors alive into the next chunk iteration
+            fed.append((d0, d1, batch_all if device else None,
+                        elig_keep if device else None, snv_src))
             # drain with a one-sub-chunk lag: everything below the chunk
             # just fed is final (back-reach < D)
             while len(fed) > 1:

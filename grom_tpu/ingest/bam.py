@@ -668,6 +668,10 @@ def read_bam_region(path: str, refid: int, beg: int = 0,
             if isinstance(flat, np.ndarray):
                 from grom_tpu.utils.bufpool import POOL
                 POOL.release(flat)
+    # release the compressed pages this fetch faulted in: streamed WGS
+    # chromosomes otherwise accumulate the whole compressed BAM resident
+    # per process (the pages stay in the shared OS page cache)
+    rdr.drop_src_residency()
     reads = concat_raw(parts)
     keep = np.flatnonzero(reads.refid == refid)
     if len(keep) != len(reads):

@@ -205,9 +205,74 @@ class BgzfRandomReader:
         else:
             with open(path, "rb") as f:
                 self._src = f.read()
-        self._coff, self._usize = self._scan()
+        cached = self._load_block_table(path, size)
+        if cached is not None:
+            self._coff, self._usize = cached
+        else:
+            self._coff, self._usize = self._scan()
+            self._save_block_table(path, size)
+            # the scan touched every page of the mapping: release the
+            # residency (pages stay in the OS page cache; regional fetches
+            # re-fault only the spans they read)
+            self.drop_src_residency()
         self._uoff = np.zeros(len(self._coff) + 1, np.int64)
         np.cumsum(self._usize, out=self._uoff[1:])
+
+    # -- block-table sidecar -------------------------------------------------
+    # The whole-file block scan is the one operation that touches EVERY page
+    # of a memmap'd WGS-scale BAM (24GB at 1Gb/30x): without a cache each -P
+    # worker faults the entire compressed file resident just to learn the
+    # block offsets (measured: +4.8GB RSS per worker on a 5.2GB BAM). The
+    # table is tiny (16B per 64KB block) and immutable for a given file, so
+    # persist it next to the BAM like the insert-size .mean sidecar.
+
+    @staticmethod
+    def _block_table_path(path: str) -> str:
+        return path + ".grom_tpu.bgzf.npz"
+
+    def _load_block_table(self, path: str, size: int):
+        try:
+            import os as _os
+            side = self._block_table_path(path)
+            if not _os.path.exists(side):
+                return None
+            if _os.path.getmtime(side) < _os.path.getmtime(path):
+                return None
+            with np.load(side) as z:
+                if int(z["src_size"]) != size:
+                    return None
+                return z["coff"].astype(np.int64), z["usize"].astype(np.int64)
+        except Exception:
+            return None
+
+    def _save_block_table(self, path: str, size: int) -> None:
+        try:
+            import os as _os
+            import tempfile
+            side = self._block_table_path(path)
+            fd, tmp = tempfile.mkstemp(dir=_os.path.dirname(side) or ".",
+                                       suffix=".tmp")
+            with _os.fdopen(fd, "wb") as f:
+                np.savez(f, coff=self._coff, usize=self._usize,
+                         src_size=np.int64(size))
+            _os.replace(tmp, side)
+        except Exception:
+            pass
+
+    def drop_src_residency(self) -> None:
+        """MADV_DONTNEED the compressed-source mapping (memmap'd WGS-scale
+        files): drops this process's resident file pages after a scan or a
+        consumed regional fetch. Pages stay in the shared OS page cache, so
+        re-faulting a span later is a minor fault (~0.04s/GiB), while peak
+        RSS stops accumulating the whole compressed BAM per process."""
+        mm = getattr(self._src, "_mmap", None)
+        if mm is None:
+            return
+        try:
+            import mmap as _mmap
+            mm.madvise(_mmap.MADV_DONTNEED)
+        except (AttributeError, ValueError, OSError):
+            pass
 
     def _scan(self) -> Tuple[np.ndarray, np.ndarray]:
         from grom_tpu.native import get_lib
