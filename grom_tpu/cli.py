@@ -230,10 +230,11 @@ def run_parallel(cfg: GromConfig) -> None:
             half = (os.sysconf("SC_PHYS_PAGES")
                     * os.sysconf("SC_PAGE_SIZE")) // 2
             per = max(64 << 20, half // max(cfg.processes, 1))
-            # ceiling: a streamed worker's live set is chunk-sized (~10GB
-            # at the 32Mb default), so retention beyond that only inflates
-            # RSS without avoiding any re-acquisition
-            per = min(per, 12 << 30)
+            # ceiling: a streamed worker's live set is chunk-sized (~8GB
+            # at the 16Mb default), so retention beyond that only inflates
+            # RSS without avoiding any re-acquisition (measured: 2GiB cap
+            # cost no wall on the 2x100Mb -P 2 experiment)
+            per = min(per, 4 << 30)
             os.environ["GROM_TPU_POOL_CAP"] = str(per)
             pool_cap_set = True
         except (ValueError, OSError, AttributeError):

@@ -23,6 +23,15 @@ from grom_tpu.stats import binom
 from grom_tpu.vcfio.writer import VcfWriter
 
 
+# Ingest-chunk default (GROM_TPU_CHUNK_BASES overrides). 16Mb keeps the
+# decoded read tensors at ~1.2GB/chunk at 30x: with the producer queue and
+# the current chunk that's ~3 chunk generations live, and 16Mb measured
+# no slower end-to-end than 32Mb (2x100Mb@30x -P 2 experiment: worker peak
+# RSS 15.1GB -> 11.5GB, equal wall) — a 16Mb chunk still spans thousands
+# of BGZF blocks, so the threaded inflate stays saturated.
+DEFAULT_CHUNK_BASES = 16 << 20
+
+
 @dataclass
 class RunResult:
     vcf_path: str
@@ -273,7 +282,7 @@ def _start_first_chunk_prefetch(cfg: GromConfig, header, info,
     else:
         return
     L = int(header.ref_lengths[refid])
-    C = int(os.environ.get("GROM_TPU_CHUNK_BASES", str(32 << 20)))
+    C = int(os.environ.get("GROM_TPU_CHUNK_BASES", str(DEFAULT_CHUNK_BASES)))
     t1 = min(C, L)
     ev = threading.Event()
     slot: Dict[str, object] = {}
@@ -660,7 +669,7 @@ def call_chromosome_streamed(chrom: np.ndarray, refid: int, out_name: str,
     mesh_mode = engine == "mesh"
     L = len(chrom)
     C = chunk_bases or int(os.environ.get("GROM_TPU_CHUNK_BASES",
-                                          str(32 << 20)))
+                                          str(DEFAULT_CHUNK_BASES)))
     l0 = scan_mod.window_len_l0(cfg, drv)
     scan_start = (2 * l0) // 4 + 1
     if region_start > 0:
