@@ -205,12 +205,17 @@ class BgzfRandomReader:
         else:
             with open(path, "rb") as f:
                 self._src = f.read()
-        cached = self._load_block_table(path, size)
+        # the sidecar only pays at memmap (WGS) scale — a sub-256MB file
+        # scans in milliseconds, and persisting tables for every small
+        # fixture would litter their directories
+        use_sidecar = isinstance(self._src, np.memmap)
+        cached = self._load_block_table(path, size) if use_sidecar else None
         if cached is not None:
             self._coff, self._usize = cached
         else:
             self._coff, self._usize = self._scan()
-            self._save_block_table(path, size)
+            if use_sidecar:
+                self._save_block_table(path, size)
             # the scan touched every page of the mapping: release the
             # residency (pages stay in the OS page cache; regional fetches
             # re-fault only the spans they read)

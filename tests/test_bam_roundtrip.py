@@ -109,3 +109,45 @@ def test_reg2bin_consistency():
     assert reg2bin(0, 1) == 4681
     for beg, end in [(0, 1), (100, 200), (16383, 16385), (1 << 20, (1 << 20) + 5000)]:
         assert reg2bin(beg, end) in reg2bins(beg, end)
+
+
+def test_block_table_sidecar(tmp_path, monkeypatch):
+    """BgzfRandomReader persists its block table as <bam>.grom_tpu.bgzf.npz
+    for memmap'd (WGS-scale) sources — so -P workers skip the whole-file
+    scan — and invalidates it when the source file changes."""
+    from grom_tpu.native import get_lib
+    if get_lib() is None:
+        pytest.skip("sidecar rides the native memmap path")
+    monkeypatch.setenv("GROM_TPU_SRC_MMAP_MIN", "0")   # force memmap here
+    p = str(tmp_path / "x.bgzf")
+    with open(p, "wb") as f:
+        w = bgzf.BgzfWriter(f)
+        w.write(os.urandom(300000))
+        w.close()
+    r1 = bgzf.BgzfRandomReader(p)
+    side = p + ".grom_tpu.bgzf.npz"
+    assert os.path.exists(side)
+    r2 = bgzf.BgzfRandomReader(p)           # loads the sidecar
+    assert np.array_equal(r1._coff, r2._coff)
+    assert np.array_equal(r1._usize, r2._usize)
+    assert np.array_equal(r1._uoff, r2._uoff)
+    # content equality through the sidecar path
+    assert r1.inflate_blocks(0, r1.n_blocks) == \
+        r2.inflate_blocks(0, r2.n_blocks)
+
+    # stale sidecar: rewrite the source with different content/size
+    with open(p, "wb") as f:
+        w = bgzf.BgzfWriter(f)
+        w.write(os.urandom(123456))
+        w.close()
+    now = os.path.getmtime(p)
+    os.utime(side, (now - 10, now - 10))    # force sidecar older than source
+    r3 = bgzf.BgzfRandomReader(p)
+    assert int(r3._uoff[-1]) == 123456      # rescanned, not the stale table
+
+    # corrupt sidecar must be ignored, not fatal
+    with open(side, "wb") as f:
+        f.write(b"not an npz")
+    os.utime(side, None)
+    r4 = bgzf.BgzfRandomReader(p)
+    assert int(r4._uoff[-1]) == 123456
