@@ -141,6 +141,13 @@ def main():
         result["gen_s"] = round(time.time() - t0, 1)
         print("generated %.2fGb genome in %.0fs"
               % (result["genome_gb"], result["gen_s"]), flush=True)
+        try:
+            # the generator's freed buffers otherwise sit retained in this
+            # process's slab pool (>20GB observed) for the whole benchmark
+            from grom_tpu import _hugealloc
+            _hugealloc.trim()
+        except Exception:
+            pass
 
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
