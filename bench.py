@@ -197,9 +197,10 @@ def measure_cnv_phase(fa: str, bam: str):
 
     res = _with_timeout(dev, 600, None)         # keep the host figure even
     if res is None:                             # when the tunnel stalls
-        t_dev, ok = 0.0, False
-    else:
-        t_dev, ok = res[0], res[1] == len(rows_host)
+        # not a parity failure: the probe never completed (tunneled-chip
+        # transport too slow for the per-base CNV tensors)
+        return round(t_host, 3), "stalled(>600s, tunneled chip)", None
+    t_dev, ok = res[0], res[1] == len(rows_host)
     return round(t_host, 3), round(t_dev, 3), ok
 
 
@@ -280,8 +281,9 @@ def main():
     dev_e2e = measure_device_e2e(fa, bam, bases, link)
     try:
         cnv_host_s, cnv_dev_s, cnv_match = measure_cnv_phase(fa, bam)
-    except Exception:
-        cnv_host_s, cnv_dev_s, cnv_match = 0.0, 0.0, False
+    except Exception as exc:
+        cnv_host_s = "probe_failed: %s" % str(exc)[:80]
+        cnv_dev_s, cnv_match = None, None
     print(json.dumps({
         "metric": "e2e_bases_per_s",
         "value": round(e2e, 1),

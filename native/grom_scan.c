@@ -118,11 +118,20 @@ GN_API int gn_snv_accumulate(
         const int32_t nid = name_id[rid];
         const int nm_short = name_len[rid] < name_len_cap;
 
-        if (do_snv)
-        for (int64_t j = 0; j < ln; j++) {
+        if (do_snv) {
+        /* hoist the position gate: j in [j0, j1) <=> p in [max(lo,0),
+         * min(hi,L)) — no per-base branch */
+        int64_t j0 = 0, j1 = ln;
+        if (ref0 < lo)
+            j0 = lo - ref0;
+        if (ref0 < 0 && -ref0 > j0)
+            j0 = -ref0;
+        if (ref0 + j1 > hi)
+            j1 = hi - ref0;
+        if (ref0 + j1 > L)
+            j1 = L - ref0;
+        for (int64_t j = j0; j < j1; j++) {
             const int64_t p = ref0 + j;
-            if (p < 0 || p >= L || p < lo || p >= hi)
-                continue;                     /* gate */
             const int64_t ridx = roff + j;
             const uint8_t b = rseq[ridx];
             const int64_t q = rq[ridx];
@@ -157,14 +166,15 @@ GN_API int gn_snv_accumulate(
             const int64_t pb = p - base;
             if (hi) {
                 if (!skip && c >= 0) {
+                    /* bq_all/mq_all/read_count_all/mq_read_count receive
+                     * identical contributions here — folded in ONE
+                     * vectorized pass after the span loop (the scatter
+                     * loop is store-bandwidth-bound; this drops 4 of its
+                     * 9 per-base read-modify-writes) */
                     snv[(int64_t)c * stride + pb] += 1;
                     bq[pb] += q;
-                    bq_all[pb] += q;
                     mq_sum[pb] += mq;
-                    mq_all[pb] += mq;
                     bq_read_count[pb] += 1;
-                    mq_read_count[pb] += 1;
-                    read_count_all[pb] += 1;
                     if (fwd)
                         fstrand[(int64_t)c * stride + pb] += 1;
                     const int64_t pir = (mm || fwd) ? ridx : lseq - ridx;
@@ -176,6 +186,7 @@ GN_API int gn_snv_accumulate(
                 mq_all[pb] += mq;
                 read_count_all[pb] += 1;
             }
+        }
         }
 
         /* caf_rd_* depth lists: whole-span rule (src/GROM.c:6605-6664) —
@@ -197,6 +208,24 @@ GN_API int gn_snv_accumulate(
         }
     }
     free(ring);
+
+    if (do_snv) {
+        /* fold the high-quality contributions into the *_all aggregates
+         * (single sequential pass, auto-vectorized): this call owns
+         * exactly the positions in [lo, hi) of these (chunk-local)
+         * arrays, and mq_read_count's increments were identical to
+         * bq_read_count's */
+        int64_t p0 = (lo > 0 ? lo : 0) - base;
+        int64_t p1 = (hi < L ? hi : L) - base;
+        if (p0 < 0)
+            p0 = 0;
+        for (int64_t p = p0; p < p1; p++) {
+            bq_all[p] += bq[p];
+            mq_all[p] += mq_sum[p];
+            read_count_all[p] += bq_read_count[p];
+            mq_read_count[p] += bq_read_count[p];
+        }
+    }
 
     if (!finalize)
         return 0;
