@@ -13,6 +13,9 @@
 #include <stdlib.h>
 #include <string.h>
 #include <zlib.h>
+#ifdef GN_HAVE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
 
 #define GN_API __attribute__((visibility("default")))
 
@@ -66,9 +69,18 @@ typedef struct {
     uint8_t *dst;
     long lo, hi;        /* block range for this worker */
     int rc;
+#ifdef GN_HAVE_LIBDEFLATE
+    struct libdeflate_decompressor *ld;  /* per-worker; no fallback sharing */
+#endif
 } inflate_job_t;
 
-static int inflate_one(const uint8_t *src, long coff, uint8_t *dst, long dcap) {
+/* Raw-DEFLATE a single BGZF block payload into dst. When built with
+ * libdeflate (GN_HAVE_LIBDEFLATE, detected by the Makefile) each worker
+ * owns one reusable decompressor — ~2-3x the zlib inflate throughput on
+ * BGZF-sized blocks, the same speedup htslib takes when libdeflate is
+ * present. zlib remains the portable fallback. */
+static int inflate_one(const uint8_t *src, long coff, uint8_t *dst, long dcap,
+                       void *ctx) {
     unsigned xlen = (unsigned)src[coff + 10] | ((unsigned)src[coff + 11] << 8);
     const uint8_t *cdata = src + coff + 12 + xlen;
     /* compressed payload runs to bsize-12-xlen-8; recompute bsize from BC */
@@ -88,6 +100,19 @@ static int inflate_one(const uint8_t *src, long coff, uint8_t *dst, long dcap) {
     long clen = bsize - 12 - (long)xlen - 8;
     if (dcap == 0)
         return 0;
+#ifdef GN_HAVE_LIBDEFLATE
+    if (ctx) {
+        size_t got = 0;
+        enum libdeflate_result lr = libdeflate_deflate_decompress(
+            (struct libdeflate_decompressor *)ctx, cdata, (size_t)clen,
+            dst, (size_t)dcap, &got);
+        if (lr != LIBDEFLATE_SUCCESS || (long)got != dcap)
+            return -3;
+        return 0;
+    }
+#else
+    (void)ctx;
+#endif
     z_stream zs;
     memset(&zs, 0, sizeof(zs));
     if (inflateInit2(&zs, -15) != Z_OK)
@@ -105,15 +130,27 @@ static int inflate_one(const uint8_t *src, long coff, uint8_t *dst, long dcap) {
 
 static void *inflate_worker(void *arg) {
     inflate_job_t *j = (inflate_job_t *)arg;
+    void *ctx = NULL;
+#ifdef GN_HAVE_LIBDEFLATE
+    j->ld = libdeflate_alloc_decompressor();
+    ctx = j->ld;
+#endif
     for (long b = j->lo; b < j->hi; b++) {
         int rc = inflate_one(j->src, j->coff[b], j->dst + j->uoff[b],
-                             j->uoff[b + 1] - j->uoff[b]);
+                             j->uoff[b + 1] - j->uoff[b], ctx);
         if (rc != 0) {
             j->rc = rc;
-            return NULL;
+            goto done;
         }
     }
     j->rc = 0;
+done:
+#ifdef GN_HAVE_LIBDEFLATE
+    if (j->ld) {
+        libdeflate_free_decompressor(j->ld);
+        j->ld = NULL;
+    }
+#endif
     return NULL;
 }
 
