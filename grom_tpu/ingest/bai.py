@@ -125,8 +125,16 @@ def region_chunks(refs, refid: int, beg: int, end: int) -> List[Tuple[int, int]]
                 chunks.append((max(s, min_voff), e))
     chunks.sort()
     merged: List[Tuple[int, int]] = []
+    # Coalesce across small compressed gaps too, not just overlaps: every
+    # extra span becomes a separate decode + a per-field concatenation of
+    # ~100MB arrays whose fresh first-touch pages cost far more than
+    # inflating and decoding the gap's few records (records in a gap are
+    # position-filtered by the caller like any other fetch slack). 1MB
+    # compressed ~= 4MB of records; a 1Mb dense-coverage fetch typically
+    # collapses from ~7 spans to 1.
+    GAP = 1 << 20
     for s, e in chunks:
-        if merged and s <= merged[-1][1]:
+        if merged and (s >> 16) - (merged[-1][1] >> 16) <= GAP:
             merged[-1] = (merged[-1][0], max(merged[-1][1], e))
         else:
             merged.append((s, e))
