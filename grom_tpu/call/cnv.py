@@ -129,9 +129,6 @@ def preprocess_reference(chrom: np.ndarray, insert_mean: int,
     W = 2 * m - 1
     total = m * m  # triangular weight sum (src/GROM.c:22265-22269)
 
-    # single-copy uppercase (tobytes().upper() double-copied the chromosome)
-    up = np.where(chrom >= 97, chrom - 32, chrom).astype(np.uint8)
-
     def tri_weighted(x):
         # T(p) = sum_{d=-(m-1)}^{m-1} (m-|d|)*x[p+d]
         #      = sum_{k=p-m+1}^{p} window_m(k)   where window_m(k) = sum x[k:k+m]
@@ -155,6 +152,7 @@ def preprocess_reference(chrom: np.ndarray, insert_mean: int,
     lo, hi = m - 1, L - W
     if hi > lo and not _tri_weighted_native(chrom, m, gc_w, ac_w):
         # fallback only: the int64 masks + prefix sums are ~32B/base
+        up = np.where(chrom >= 97, chrom - 32, chrom).astype(np.uint8)
         is_gc = ((up == ord("C")) | (up == ord("G"))).astype(np.int64)
         gc_w[lo:hi] = (100 * tri_weighted(is_gc)[lo:hi] // total
                        ).astype(np.int8)
@@ -173,13 +171,16 @@ def preprocess_reference(chrom: np.ndarray, insert_mean: int,
         # 256x256 LUT: one gather instead of 20 mask passes over the
         # chromosome (each pass allocates a fresh L-byte temp — the
         # allocation tax dominates on sandboxed kernels)
+        # case-insensitive LUT entries: indexing raw chrom bytes avoids a
+        # whole-L uppercase temporary
         lut = np.full((256, 256), 10, dtype=np.int8)
         for t, pair in enumerate(_REPEAT_PAIRS):
-            a, b = pair[0], pair[1]
-            lut[a, b] = t
-            lut[b, a] = t
-        b0 = up[lo:hi]
-        b1 = up[lo + 1:hi + 1]
+            for a in (pair[0], pair[0] + 32):
+                for b in (pair[1], pair[1] + 32):
+                    lut[a, b] = t
+                    lut[b, a] = t
+        b0 = chrom[lo:hi]
+        b1 = chrom[lo + 1:hi + 1]
         pair_code = lut[b0, b1]
         # runs of identical type (<10), recorded when length-1 >= min_repeat-1.
         # Vectorized RLE of the per-base state machine; a run reaching the
@@ -223,11 +224,17 @@ def prep_cnv(chrom: np.ndarray, feats: RefFeatures, rd_hi: np.ndarray,
     W = 2 * m - 1
     if depth is None:
         depth = rd_hi.astype(np.int32) + rd_lo.astype(np.int32)
-    # per-base mean mapq fits int16 (mapq <= 255); int64 here was an
-    # 8B/base whole-chromosome transient
+    # per-base mean mapq fits int16 (mapq <= 255); computed in bounded
+    # chunks — the fancy-indexed whole-chromosome form (rd_mq_sum[nz] //
+    # depth[nz]) allocated ~4 full-size temporaries whose first-touch
+    # faults dominated this phase. Σmapq <= 255*depth stays in int32.
     mq_mean = np.zeros(len(depth), np.int16)
-    nz = depth > 0
-    mq_mean[nz] = (rd_mq_sum[nz].astype(np.int64) // depth[nz]).astype(np.int16)
+    _CHK0 = 16 << 20
+    for _c0 in range(0, len(depth), _CHK0):
+        _c1 = min(_c0 + _CHK0, len(depth))
+        d = depth[_c0:_c1]
+        q = rd_mq_sum[_c0:_c1] // np.maximum(d, 1)
+        mq_mean[_c0:_c1] = np.where(d > 0, q, 0).astype(np.int16)
 
     # repeat-bias selection (src/GROM.c:16642-16760); mean/stdev of eligible
     # depth in bounded chunks (the whole-chromosome f64 temporaries were
@@ -283,19 +290,26 @@ def prep_cnv(chrom: np.ndarray, feats: RefFeatures, rd_hi: np.ndarray,
                         most_biased = t
                         best_cnt = int(r_cnt[t])
 
-    # 10kb excessive-coverage block masking (src/GROM.c:16784-17010)
-    up = np.frombuffer(chrom.tobytes().upper(), dtype=np.uint8)
-    acgt_base = (up == ord("A")) | (up == ord("C")) | (up == ord("G")) | (up == ord("T"))
-    chr_block_total = int(depth[acgt_base].sum())
-    block_count = int(acgt_base.sum())
+    # 10kb excessive-coverage block masking (src/GROM.c:16784-17010);
+    # byte-LUT gather on raw chrom (case-insensitive) instead of the
+    # two whole-L uppercase copies + four mask passes
+    _acgt_lut = np.zeros(256, np.bool_)
+    _acgt_lut[np.frombuffer(b"ACGTacgt", np.uint8)] = True
+    acgt_base = _acgt_lut[chrom]
+    chr_block_total = 0
+    block_count = 0
+    for _c0 in range(0, L, _CHK0):
+        _c1 = min(_c0 + _CHK0, L)
+        ab = acgt_base[_c0:_c1]
+        chr_block_total += int(depth[_c0:_c1][ab].sum())
+        block_count += int(ab.sum())
     chr_rd_ave = chr_block_total / block_count if block_count else 0.0
     threshold = cfg.chr_rd_threshold_factor * chr_rd_ave
 
     n_blocks = L // cfg.block_unit_size
-    block_means = np.zeros(n_blocks)
-    for b in range(n_blocks):
-        s = b * cfg.block_unit_size
-        block_means[b] = depth[s:s + cfg.block_unit_size].sum() / cfg.block_unit_size
+    U = cfg.block_unit_size
+    block_means = (depth[:n_blocks * U].reshape(n_blocks, U)
+                   .sum(axis=1, dtype=np.int64) / U)
     over = np.flatnonzero(block_means > threshold)
 
     # cluster over-blocks (the reference's temp_blocks state machine,
@@ -1476,7 +1490,9 @@ def call_cnv(chrom: np.ndarray, rd_hi: np.ndarray, rd_lo: np.ndarray,
     ploidy = cfg.ploidy
     with phase("cnv.prep_ref"):
         feats = preprocess_reference(chrom, drv.insert_mean, cfg.min_repeat)
-    depth = rd_hi.astype(np.int32) + rd_lo.astype(np.int32)
+    # one output temporary; astype(int32) on already-int32 inputs copied
+    # the chromosome twice more
+    depth = np.add(rd_hi, rd_lo, dtype=np.int32)
     with phase("cnv.prep"):
         prep = prep_cnv(chrom, feats, rd_hi, rd_lo, rd_mq_sum, cfg, drv,
                         depth=depth)

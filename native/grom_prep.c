@@ -1,11 +1,12 @@
 /* grom_tpu native reference preprocessing.
  *
  * Triangular-weighted GC% / ACGT% per base over a (2m-1)-base window
- * (behavioral spec: src/GROM.c:1766-1861) — computed with the
- * second-difference recurrence T(p+1) - T(p) = W(p+1) - W(p-m+1) over one
- * int64 prefix-sum array per track, one streaming pass each, instead of the
- * reference's paired increasing/decreasing counters or the Python engine's
- * double prefix sums (which cost four full-size temporaries on the host).
+ * (behavioral spec: src/GROM.c:1766-1861) — computed with running window
+ * sums in registers: T(p+1) - T(p) = W(p+1) - W(p-m+1) where W(k) is the
+ * m-base window sum, and both W terms advance O(1) per base. This is the
+ * reference's own paired increasing/decreasing-counter trick; the earlier
+ * prefix-sum formulation allocated two int64[L+1] arrays (3.8GB at 240Mb)
+ * whose first-touch page faults dominated the phase on sandboxed kernels.
  */
 
 #include <stdint.h>
@@ -30,34 +31,43 @@ GN_API int gn_tri_weighted(const uint8_t *chrom, long L, long m,
     is_ac['A'] = is_ac['a'] = is_ac['T'] = is_ac['t'] = 1;
     is_ac['G'] = is_ac['g'] = is_ac['C'] = is_ac['c'] = 1;
 
-    /* prefix sums c1[i] = sum x[0:i] for both tracks */
-    int64_t *c1g = malloc((size_t)(L + 1) * sizeof(int64_t));
-    int64_t *c1a = malloc((size_t)(L + 1) * sizeof(int64_t));
-    if (!c1g || !c1a) { free(c1g); free(c1a); return -1; }
-    c1g[0] = 0; c1a[0] = 0;
-    for (p = 0; p < L; p++) {
-        uint8_t b = chrom[p];
-        c1g[p + 1] = c1g[p] + is_gc[b];
-        c1a[p + 1] = c1a[p] + is_ac[b];
-    }
-
-    /* T(lo) = sum_{k=0}^{m-1} (c1[k+m] - c1[k]) */
-    int64_t tg = 0, ta = 0;
+    /* W(0) = sum x[0..m-1]; also T's first summand */
+    int64_t wrg = 0, wra = 0;
     long k;
     for (k = 0; k < m; k++) {
-        tg += c1g[k + m] - c1g[k];
-        ta += c1a[k + m] - c1a[k];
+        uint8_t b = chrom[k];
+        wrg += is_gc[b];
+        wra += is_ac[b];
+    }
+    /* wl = W(p-m) for the loop below; starts at W(0) (p = lo+1 uses
+     * W(lo+1-m) = W(0)) */
+    int64_t wlg = wrg, wla = wra;
+    /* T(lo) = sum_{k=0}^{m-1} W(k), accumulating wr = W(k) as we go;
+     * afterwards wr = W(m-1) = W(lo) */
+    int64_t tg = wrg, ta = wra;
+    for (k = 1; k < m; k++) {
+        uint8_t add = chrom[k + m - 1], sub = chrom[k - 1];
+        wrg += is_gc[add] - is_gc[sub];
+        wra += is_ac[add] - is_ac[sub];
+        tg += wrg;
+        ta += wra;
     }
     gc_w[lo] = (int8_t)(100 * tg / total);
     ac_w[lo] = (int8_t)(100 * ta / total);
     for (p = lo + 1; p < hi; p++) {
-        /* + W(p) - W(p-m):  W(k) = c1[k+m] - c1[k] */
-        tg += (c1g[p + m] - c1g[p]) - (c1g[p] - c1g[p - m]);
-        ta += (c1a[p + m] - c1a[p]) - (c1a[p] - c1a[p - m]);
+        /* W(p-1) -> W(p) */
+        uint8_t add = chrom[p + m - 1], sub = chrom[p - 1];
+        wrg += is_gc[add] - is_gc[sub];
+        wra += is_ac[add] - is_ac[sub];
+        /* T(p) = T(p-1) + W(p) - W(p-m) */
+        tg += wrg - wlg;
+        ta += wra - wla;
         gc_w[p] = (int8_t)(100 * tg / total);
         ac_w[p] = (int8_t)(100 * ta / total);
+        /* W(p-m) -> W(p+1-m) for the next iteration */
+        uint8_t ladd = chrom[p], lsub = chrom[p - m];
+        wlg += is_gc[ladd] - is_gc[lsub];
+        wla += is_ac[ladd] - is_ac[lsub];
     }
-    free(c1g);
-    free(c1a);
     return 0;
 }

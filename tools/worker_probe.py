@@ -40,6 +40,9 @@ def main():
     key, path, n, ctx = cli._run_one_chromosome(
         (cfg.to_json(), refid, 0, None, None, part))
     print("rows=%d ctx=%d part=%s" % (n, len(ctx), path))
+    from grom_tpu.utils import timing
+    if timing.timing_enabled():
+        timing.report()
 
 
 if __name__ == "__main__":
