@@ -101,6 +101,9 @@ class RefFeatures:
 
 _REPEAT_PAIRS = [b"AA", b"AC", b"AG", b"AT", b"CC", b"CG", b"CT", b"GG", b"GT", b"TT"]
 
+# repeat-run RLE chunk (bases); test-patchable to exercise the run-carry
+_REPEAT_RLE_CHUNK = 16 << 20
+
 
 def _tri_weighted_native(chrom: np.ndarray, m: int, gc_w: np.ndarray,
                          ac_w: np.ndarray) -> bool:
@@ -179,25 +182,53 @@ def preprocess_reference(chrom: np.ndarray, insert_mean: int,
                 for b in (pair[1], pair[1] + 32):
                     lut[a, b] = t
                     lut[b, a] = t
-        b0 = chrom[lo:hi]
-        b1 = chrom[lo + 1:hi + 1]
-        pair_code = lut[b0, b1]
-        # runs of identical type (<10), recorded when length-1 >= min_repeat-1.
-        # Vectorized RLE of the per-base state machine; a run reaching the
-        # last scanned position never closes and is dropped, like the
-        # sequential scan (src/GROM.c:1727-1764).
-        pc = pair_code   # already the [lo:hi) range
+        # Runs of identical type (<10), recorded when length-1 >=
+        # min_repeat-1; a run reaching the last scanned position never
+        # closes and is dropped, like the sequential scan
+        # (src/GROM.c:1727-1764). Chunked RLE with a boundary-run carry:
+        # ~75% of positions are change points, so the whole-chromosome
+        # change/starts/ends int64 temporaries were ~24B/base (6GB at
+        # 240Mb) — per-chunk they are bounded and pool-reused.
         n = hi - lo
         if n > 1:
-            change = np.flatnonzero(pc[1:] != pc[:-1]) + 1
-            starts = np.concatenate([[0], change])
-            ends = np.concatenate([change, [n]])
-            types = pc[starts]
-            valid = (types < 10) & (ends < n) & \
-                (ends - starts - 1 >= min_repeat - 1)
-            r_starts = list(lo + starts[valid])
-            r_ends = list(lo + ends[valid])
-            r_types = list(types[valid].astype(np.int64))
+            _RCHK = _REPEAT_RLE_CHUNK
+            carry_start = 0          # relative start of the open run
+            carry_type = -1          # -1 = no open run yet
+            for c0 in range(0, n, _RCHK):
+                c1 = min(c0 + _RCHK, n)
+                pcc = lut[chrom[lo + c0:lo + c1],
+                          chrom[lo + c0 + 1:lo + c1 + 1]]
+                if not len(pcc):
+                    continue
+                change = np.flatnonzero(pcc[1:] != pcc[:-1]) + 1
+                starts = np.concatenate([[0], change])
+                ends = np.concatenate([change, [c1 - c0]])
+                types = pcc[starts]
+                if c0 > 0 and carry_type != int(types[0]):
+                    # the carried run closed exactly at the chunk boundary
+                    if (carry_type < 10 and c0 < n
+                            and c0 - carry_start - 1 >= min_repeat - 1):
+                        r_starts.append(lo + carry_start)
+                        r_ends.append(lo + c0)
+                        r_types.append(carry_type)
+                # continue the carried run through the first stretch
+                first_start = carry_start if (carry_type == int(types[0])
+                                              and c0 > 0) else c0
+                starts = starts + c0
+                ends = ends + c0
+                starts[0] = first_start
+                # the trailing run stays open into the next chunk
+                carry_start = int(starts[-1])
+                carry_type = int(types[-1])
+                closed = slice(0, len(starts) - 1) if c1 < n \
+                    else slice(0, len(starts))
+                s_c, e_c, t_c = starts[closed], ends[closed], types[closed]
+                valid = (t_c < 10) & (e_c < n) & \
+                    (e_c - s_c - 1 >= min_repeat - 1)
+                if valid.any():
+                    r_starts.extend(lo + s_c[valid])
+                    r_ends.extend(lo + e_c[valid])
+                    r_types.extend(t_c[valid].astype(np.int64))
     return RefFeatures(gc_w, ac_w, np.array(r_types, dtype=np.int64),
                        np.array(r_starts, dtype=np.int64),
                        np.array(r_ends, dtype=np.int64))

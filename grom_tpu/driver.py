@@ -889,7 +889,13 @@ def call_chromosome_streamed(chrom: np.ndarray, refid: int, out_name: str,
             while len(fed) > 1:
                 if not drain_one():
                     return None
+        # drop this chunk's decoded tensors NOW: batch_all views creads'
+        # arrays, and leaving the locals bound keeps the previous chunk's
+        # ~GB-scale read tensors alive through the NEXT chunk's fetch +
+        # batch build (one extra chunk of peak RSS for nothing. The device
+        # path's queued jobs hold their own reference via `fed`.)
         del creads
+        batch_all = None
 
     while fed:
         if not drain_one():

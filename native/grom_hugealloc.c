@@ -129,7 +129,9 @@ static void *pool_get(size_t rounded, int *clean) {
         slab_t s = G.freelist[best];
         p = s.ptr;
         *clean = s.clean;
-        if (s.size > rounded) {         /* split: re-park the tail */
+        if (s.size > rounded) {         /* split: re-park the tail (the
+                                         * coalescing pool_put below
+                                         * re-merges it on free) */
             G.freelist[best].ptr = (char *)s.ptr + rounded;
             G.freelist[best].size = s.size - rounded;
             G.freelist[best].clean = s.clean;
@@ -146,6 +148,32 @@ static void *pool_get(size_t rounded, int *clean) {
 static void pool_put(void *ptr, size_t rounded) {
     pthread_mutex_lock(&G.lock);
     if (G.nfree < MAX_FREE && G.pooled + rounded <= G.pool_cap) {
+        /* Coalesce with address-adjacent free slabs (both sides): splits
+         * fragment large slabs, and without re-merge the pool decays until
+         * no entry can serve a chunk-sized request and every streamed
+         * chunk re-acquires fresh pages (~5s/GiB of sys on sandboxed
+         * kernels). Merged spans restore the big slabs each chunk needs. */
+        for (int again = 1; again;) {
+            again = 0;
+            for (int i = 0; i < G.nfree; i++) {
+                char *fp = (char *)G.freelist[i].ptr;
+                if (fp + G.freelist[i].size == (char *)ptr) {
+                    ptr = fp;
+                    rounded += G.freelist[i].size;
+                    G.pooled -= G.freelist[i].size;
+                    G.freelist[i] = G.freelist[--G.nfree];
+                    again = 1;
+                    break;
+                }
+                if ((char *)ptr + rounded == fp) {
+                    rounded += G.freelist[i].size;
+                    G.pooled -= G.freelist[i].size;
+                    G.freelist[i] = G.freelist[--G.nfree];
+                    again = 1;
+                    break;
+                }
+            }
+        }
         G.freelist[G.nfree].ptr = ptr;
         G.freelist[G.nfree].size = rounded;
         G.freelist[G.nfree].clean = 0;

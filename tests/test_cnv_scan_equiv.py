@@ -78,3 +78,50 @@ def test_broken_sort_native_matches_python():
         with mock.patch("grom_tpu.native.get_lib", return_value=None):
             ref = _broken_double_sort(vals.copy())
         assert np.array_equal(nat.view(np.uint8), ref.view(np.uint8)), n
+
+
+def test_repeat_rle_chunked_matches_whole_array(monkeypatch):
+    """preprocess_reference's chunked repeat-run RLE (run-carry across
+    chunk edges, boundary-closed runs) is identical to the whole-array
+    formulation it replaced (behavioral spec: src/GROM.c:1727-1764)."""
+    from grom_tpu.call import cnv as C
+
+    def oracle(chrom, m, min_repeat):
+        L = len(chrom)
+        W = 2 * m - 1
+        lo, hi = m - 1, L - W
+        up = np.where(chrom >= 97, chrom - 32, chrom).astype(np.uint8)
+        lut = np.full((256, 256), 10, np.int8)
+        for t, pair in enumerate(C._REPEAT_PAIRS):
+            a, b = pair[0], pair[1]
+            lut[a, b] = t
+            lut[b, a] = t
+        pc = lut[up[lo:hi], up[lo + 1:hi + 1]]
+        n = hi - lo
+        change = np.flatnonzero(pc[1:] != pc[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [n]])
+        types = pc[starts]
+        valid = (types < 10) & (ends < n) & \
+            (ends - starts - 1 >= min_repeat - 1)
+        return (lo + starts[valid], lo + ends[valid],
+                types[valid].astype(np.int64))
+
+    rng = np.random.default_rng(11)
+    for chunk in (997, 4096):     # tiny chunks force many boundary carries
+        monkeypatch.setattr(C, "_REPEAT_RLE_CHUNK", chunk)
+        for _ in range(4):
+            L = int(rng.integers(8000, 40000))
+            m = int(rng.integers(60, 300))
+            s = rng.choice(np.frombuffer(b"ACGTacgtN", np.uint8), size=L)
+            for _ in range(25):
+                p = int(rng.integers(0, L - 500))
+                ln = int(rng.integers(10, 400))
+                pair = C._REPEAT_PAIRS[int(rng.integers(0, 10))]
+                s[p:p + ln] = np.frombuffer(pair * (ln // 2 + 1),
+                                            np.uint8)[:ln]
+            f = C.preprocess_reference(s, m, 20)
+            o_s, o_e, o_t = oracle(s, m, 20)
+            assert np.array_equal(f.repeat_starts, o_s)
+            assert np.array_equal(f.repeat_ends, o_e)
+            assert np.array_equal(f.repeat_types, o_t)
